@@ -1,0 +1,102 @@
+"""LZMA codec for GTM keyframe streams.
+
+Stream layout (what the JS reference decoder's LZMA.decompressFile parses,
+decoders/htmljs/lzma.js:397-428, and what the reference encoder emits via
+extern.pas:420-439):
+
+    1 byte   props = (pb*5 + lp)*9 + lc
+    4 bytes  dictionary size (LE)
+    8 bytes  uncompressed size; 8x0xFF = unknown -> decode until EOS marker
+    ...      LZMA1 range-coded data, EOS-terminated
+
+This is exactly the ".lzma alone" container. The reference encoder uses
+lc=8, lp=0, pb=2 (extern.pas:427); liblzma caps lc<=4, so our default
+encoder emits lc=4 (the props byte is honored by the JS decoder, so the
+output stays fully decoder-conformant). A native C++ encoder supporting
+lc=8 can be plugged in via `set_native_codec`.
+
+Decoding: liblzma for lc<=4; a pure-Python LZMA1 decoder fallback for the
+reference's lc=8 streams (tiler_tpu/bitstream/lzma_py.py), or the native
+codec when built.
+"""
+from __future__ import annotations
+
+import lzma as _lzma
+from typing import List, Tuple
+
+_native = None  # optional ctypes module with encode/decode
+
+
+def set_native_codec(mod) -> None:
+    global _native
+    _native = mod
+
+
+def default_filters(lc: int = 4, lp: int = 0, pb: int = 2, dict_size: int = 1 << 25):
+    return [
+        {
+            "id": _lzma.FILTER_LZMA1,
+            "preset": 9 | _lzma.PRESET_EXTREME,
+            "lc": lc,
+            "lp": lp,
+            "pb": pb,
+            "dict_size": dict_size,
+        }
+    ]
+
+
+def compress(data: bytes, lc: int = 4, lp: int = 0, pb: int = 2) -> bytes:
+    """Compress one keyframe payload into an EOS-terminated .lzma-alone stream."""
+    if _native is not None and hasattr(_native, "lzma_compress"):
+        return _native.lzma_compress(data, lc=lc, lp=lp, pb=pb)
+    if lc > 4 or lc + lp > 4:
+        # liblzma constraint; fall back to the max it supports. The props
+        # byte in the output self-describes, so decoders stay happy.
+        lc = min(lc, 4 - lp)
+    comp = _lzma.LZMACompressor(
+        format=_lzma.FORMAT_ALONE, filters=default_filters(lc=lc, lp=lp, pb=pb)
+    )
+    return comp.compress(data) + comp.flush()
+
+
+def _parse_props(stream: bytes) -> Tuple[int, int, int, int]:
+    props = stream[0]
+    lc = props % 9
+    rem = props // 9
+    lp = rem % 5
+    pb = rem // 5
+    dict_size = int.from_bytes(stream[1:5], "little")
+    return lc, lp, pb, dict_size
+
+
+def decompress_stream(buf: bytes, offset: int = 0) -> Tuple[bytes, int]:
+    """Decode ONE EOS-terminated stream starting at `offset`.
+
+    Returns (payload, bytes_consumed_from_offset). Multiple streams are
+    concatenated back to back in a .gtm file (one per keyframe), matching
+    the GliGli-modified worker loop (decoders/htmljs/wlzma.wrk.js:49-63).
+    """
+    lc, lp, pb, _ = _parse_props(buf[offset : offset + 5])
+    if _native is not None and hasattr(_native, "lzma_decompress_stream"):
+        return _native.lzma_decompress_stream(buf, offset)
+    if lc <= 4 and lc + lp <= 4:
+        dec = _lzma.LZMADecompressor(format=_lzma.FORMAT_ALONE)
+        out = dec.decompress(buf[offset:])
+        if not dec.eof:
+            raise ValueError("truncated LZMA stream")
+        consumed = len(buf) - offset - len(dec.unused_data)
+        return out, consumed
+    from . import lzma_py
+
+    return lzma_py.decompress_stream(buf, offset)
+
+
+def split_streams(buf: bytes) -> List[bytes]:
+    """Decode all concatenated streams in `buf`; returns list of payloads."""
+    out = []
+    off = 0
+    while off < len(buf):
+        payload, used = decompress_stream(buf, off)
+        out.append(payload)
+        off += used
+    return out
