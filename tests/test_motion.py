@@ -1,0 +1,87 @@
+"""Motion search vs a brute-force oracle (semantics of
+TFrame.PredictMotion, tilingencoder.pas:1184-1248: min weighted-DCT L2
+over offsets [-R, R-1]^2 clipped to the frame, + Manhattan tie penalty,
+first minimum in (oy, ox) raster order)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tiler_tpu.pipeline import motion
+
+
+def _brute_force(cur, prev, R):
+    H, W, _ = cur.shape
+    th, tw = H // 8, W // 8
+    # window features of prev
+    F = np.asarray(motion.window_dct_field(jnp.asarray(prev, jnp.float32)))
+    T = np.asarray(motion.tile_features_raster(
+        jnp.asarray(cur, jnp.float32).reshape(th, 8, tw, 8, 3).swapaxes(1, 2)))
+    best = np.zeros((th, tw, 3))
+    for i in range(th):
+        for j in range(tw):
+            dy, dx = i * 8, j * 8
+            berr, boy, box = np.inf, 0, 0
+            for oy in range(-R, R):
+                for ox in range(-R, R):
+                    wy, wx = dy + oy, dx + ox
+                    if not (0 <= wy <= H - 8 and 0 <= wx <= W - 8):
+                        continue
+                    d = T[i, j] - F[wy, wx]
+                    e = float(np.dot(d, d)) + abs(oy) + abs(ox)
+                    if e < berr:
+                        berr, boy, box = e, oy, ox
+            best[i, j] = (boy, box, berr)
+    return best
+
+
+@pytest.mark.parametrize("radius", [4, 8, 12])
+def test_motion_matches_brute_force(radius):
+    rng = np.random.RandomState(42)
+    H, W = 40, 48
+    prev = rng.randint(0, 256, (H, W, 3)).astype(np.float32)
+    # cur = prev shifted by (3, -5) with noise, so real motion exists
+    cur = np.roll(prev, (3, -5), axis=(0, 1)) + rng.randint(-2, 3, (H, W, 3))
+    cur = np.clip(cur, 0, 255).astype(np.float32)
+
+    oy, ox, err = motion.motion_search(jnp.asarray(cur), jnp.asarray(prev), radius)
+    oy, ox, err = np.asarray(oy), np.asarray(ox), np.asarray(err)
+    ref = _brute_force(cur, prev, radius)
+
+    # offsets may differ only on near-ties under the fp32 norm expansion
+    match = (oy == ref[..., 0]) & (ox == ref[..., 1])
+    assert match.mean() > 0.9, f"offsets agree only {match.mean():.2%}"
+    # reported error must equal the exact distance at the returned offset
+    H, W, _ = cur.shape
+    th, tw = H // 8, W // 8
+    F = np.asarray(motion.window_dct_field(jnp.asarray(prev, jnp.float32)))
+    T = np.asarray(motion.tile_features_raster(
+        jnp.asarray(cur, jnp.float32).reshape(th, 8, tw, 8, 3).swapaxes(1, 2)))
+    for i in range(th):
+        for j in range(tw):
+            d = T[i, j] - F[i * 8 + oy[i, j], j * 8 + ox[i, j]]
+            want = np.dot(d, d) + abs(oy[i, j]) + abs(ox[i, j])
+            assert np.isclose(err[i, j], want, rtol=1e-5, atol=1e-2)
+    # and the selected error can't beat the oracle's optimum meaningfully
+    assert np.all(err >= ref[..., 2] * (1 - 1e-4) - 1e-2)
+
+
+def test_motion_finds_exact_shift():
+    rng = np.random.RandomState(0)
+    H, W = 64, 64
+    prev = rng.randint(0, 256, (H, W, 3)).astype(np.float32)
+    cur = np.roll(prev, (4, 7), axis=(0, 1))
+    oy, ox, err = motion.motion_search(jnp.asarray(cur), jnp.asarray(prev), 16)
+    oy, ox, err = np.asarray(oy), np.asarray(ox), np.asarray(err)
+    # interior tiles (border tiles see rolled-over content)
+    inner = np.s_[2:-2, 2:-2]
+    assert np.all(oy[inner] == -4) and np.all(ox[inner] == -7)
+    # perfect match: err = manhattan penalty = 11
+    assert np.allclose(err[inner], 11.0, atol=0.5)
+
+
+def test_motion_zero_shift_prefers_center():
+    rng = np.random.RandomState(1)
+    f = rng.randint(0, 256, (32, 32, 3)).astype(np.float32)
+    oy, ox, err = motion.motion_search(jnp.asarray(f), jnp.asarray(f), 8)
+    assert np.all(np.asarray(oy) == 0) and np.all(np.asarray(ox) == 0)
+    assert np.allclose(np.asarray(err), 0.0, atol=1e-2)

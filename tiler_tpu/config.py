@@ -1,0 +1,129 @@
+"""Encoder settings: dataclass + INI round-trip, mirroring the reference's
+settings surface (tilingencoder.pas:3738-3845) key for key so existing
+settings files drive this encoder unchanged."""
+from __future__ import annotations
+
+import configparser
+import io
+import math
+from dataclasses import dataclass, field, fields
+
+
+def equal_quality_tile_count(tile_count: float) -> int:
+    """EqualQualityTileCount = round(sqrt(n) * log2(1+n)) (utils.pas:1038)."""
+    return round(math.sqrt(tile_count) * math.log2(1 + tile_count))
+
+
+# TPsyVisMode order (tilingencoder.pas:21)
+PSYVIS_MODES = ("dct", "weighted_dct", "wavelets", "spe_dct", "weighted_spe_dct")
+
+
+@dataclass
+class EncoderSettings:
+    # [Load]
+    input_file_name: str = ""
+    output_file_name: str = ""
+    start_frame: int = 0
+    frame_count: int = 0
+    scaling: float = 1.0
+    shot_trans_max_seconds_per_kf: float = 15.0
+    shot_trans_min_seconds_per_kf: float = 1.0
+    shot_trans_correl_lo_thres: float = 0.8
+    # [MotionPredict]
+    motion_predict_radius: int = 32
+    # [GlobalTiling]
+    global_tiling_use_target_psnr: bool = False
+    global_tiling_target_psnr: float = 20.0
+    global_tiling_quality_based_tile_count: float = 7.0
+    global_tiling_tile_count: int = 0  # explicit count has priority when > 0
+    # [Dither]
+    palette_size: int = 16
+    palette_count: int = 1024
+    dithering_mode: str = "weighted_spe_dct"
+    dithering_use_thomas_knoll: bool = True
+    dithering_yliluoma2_mixed_colors: int = 4
+    # [FrameTiling]
+    frame_tiling_extended_palette_usage: bool = True
+    # [Misc]
+    max_thread_count: int = 0  # informational; TPU path ignores it
+
+    # --- TPU-specific knobs (not in the reference INI surface) ---
+    epu_knn_k: int = 64  # cEpuKnnK (tilingencoder.pas:1433)
+    kmeans_iters: int = 30
+    corpus_chunk: int = 8192  # corpus matmul chunk for KNN
+    seed: int = 0x42381337  # CRandomSeed (extern.pas:226)
+
+    def derived_tile_count(self, total_raw_tiles: int) -> int:
+        """GlobalTilingTileCount resolution (tilingencoder.pas:2937-2948)."""
+        if self.global_tiling_tile_count > 0:
+            return min(self.global_tiling_tile_count, total_raw_tiles)
+        eqtc = equal_quality_tile_count(total_raw_tiles)
+        return max(1, min(round(self.global_tiling_quality_based_tile_count * eqtc), total_raw_tiles))
+
+    # ---- INI round-trip (SaveSettings/LoadSettings parity) ----
+    _INI_MAP = (
+        ("Load", "InputFileName", "input_file_name", str),
+        ("Load", "OutputFileName", "output_file_name", str),
+        ("Load", "StartFrame", "start_frame", int),
+        ("Load", "FrameCount", "frame_count", int),
+        ("Load", "Scaling", "scaling", float),
+        ("MotionPredict", "MotionPredictRadius", "motion_predict_radius", int),
+        ("GlobalTiling", "GlobalTilingUseTargetPSNR", "global_tiling_use_target_psnr", bool),
+        ("GlobalTiling", "GlobalTilingTargetPSNR", "global_tiling_target_psnr", float),
+        ("GlobalTiling", "GlobalTilingQualityBasedTileCount", "global_tiling_quality_based_tile_count", float),
+        ("GlobalTiling", "GlobalTilingTileCount", "global_tiling_tile_count", int),
+        ("Dither", "PaletteSize", "palette_size", int),
+        ("Dither", "PaletteCount", "palette_count", int),
+        ("Dither", "DitheringMode", "dithering_mode", "psyvis"),
+        ("Dither", "DitheringUseThomasKnoll", "dithering_use_thomas_knoll", bool),
+        ("Dither", "DitheringYliluoma2MixedColors", "dithering_yliluoma2_mixed_colors", int),
+        ("FrameTiling", "FrameTilingExtendedPaletteUsage", "frame_tiling_extended_palette_usage", bool),
+        ("Misc", "MaxThreadCount", "max_thread_count", int),
+        ("Load", "ShotTransMaxSecondsPerKF", "shot_trans_max_seconds_per_kf", float),
+        ("Load", "ShotTransMinSecondsPerKF", "shot_trans_min_seconds_per_kf", float),
+        ("Load", "ShotTransCorrelLoThres", "shot_trans_correl_lo_thres", float),
+    )
+
+    def to_ini(self) -> str:
+        cp = configparser.ConfigParser()
+        cp.optionxform = str
+        for section, key, attr, typ in self._INI_MAP:
+            if not cp.has_section(section):
+                cp.add_section(section)
+            v = getattr(self, attr)
+            if typ == "psyvis":
+                v = PSYVIS_MODES.index(v)
+            elif typ is bool:
+                v = int(v)
+            elif typ is float and float(v) == int(v):
+                v = int(v)
+            cp.set(section, key, str(v))
+        buf = io.StringIO()
+        cp.write(buf)
+        return buf.getvalue()
+
+    @classmethod
+    def from_ini(cls, text_or_path: str) -> "EncoderSettings":
+        cp = configparser.ConfigParser(strict=False)
+        cp.optionxform = str
+        if "\n" in text_or_path or "=" in text_or_path:
+            cp.read_string(text_or_path)
+        else:
+            cp.read(text_or_path)
+        self = cls()
+        for section, key, attr, typ in cls._INI_MAP:
+            if not cp.has_option(section, key):
+                continue
+            raw = cp.get(section, key)
+            if typ == "psyvis":
+                idx = max(0, min(int(float(raw)), len(PSYVIS_MODES) - 1))
+                setattr(self, attr, PSYVIS_MODES[idx])
+            elif typ is bool:
+                setattr(self, attr, bool(int(float(raw))))
+            elif typ is int:
+                setattr(self, attr, int(float(raw)))
+            elif typ is float:
+                setattr(self, attr, float(raw))
+            else:
+                setattr(self, attr, raw)
+        return self

@@ -136,7 +136,7 @@ def cpn_features(cpn, mode: str = "weighted_dct"):
         spe = mode in ("spe_dct", "weighted_spe_dct")
         D = jnp.asarray(DCT_MAT_SPE if spe else DCT_MAT, dtype=cpn.dtype)
         # z[v,u,c] = sum_{y,x} D[v,y] P[y,x,c] D[u,x]
-        z = jnp.einsum("vy,...yxc,ux->...vuc", D, cpn, D)
+        z = jnp.einsum("vy,...yxc,ux->...vuc", D, cpn, D, precision="highest")
         if mode in ("weighted_dct", "weighted_spe_dct"):
             w = jnp.asarray(DCT_WEIGHTS, dtype=cpn.dtype)  # [c,v,u]
             z = z * jnp.transpose(w, (1, 2, 0))
@@ -180,7 +180,7 @@ def inv_tile_features(feat, mode: str = "weighted_dct", use_lab: bool = False, c
         E = jnp.asarray(DCT_MAT / np.array([np.sqrt(0.5), 1, 1, 1, 1, 1, 1, 1])[:, None], dtype=z.dtype)
         q = jnp.asarray(np.array([np.sqrt(0.5), 1, 1, 1, 1, 1, 1, 1]), dtype=z.dtype)
         zq = z * q[:, None, None] * q[None, :, None]
-        cpn = jnp.einsum("vy,...vuc,ux->...yxc", E, zq, E) / 16.0
+        cpn = jnp.einsum("vy,...vuc,ux->...yxc", E, zq, E, precision="highest") / 16.0
     if use_lab:
         from .color import lab_to_rgb
 

@@ -1,0 +1,117 @@
+"""esLoad: frame ingest, tile extraction, mirror canonicalization,
+inter-frame correlation, keyframe detection.
+
+Replaces the per-frame worker-thread pipeline (TFrame.LoadFromImage /
+AsyncLoadFromImage, tilingencoder.pas:1293-1427) with batched device ops:
+tile scatter is a reshape, the mirror heuristic and per-tile mean-LAB
+vectors are one batched pass, and the sequential Pearson-correlation chain
+becomes one vectorized correlation over consecutive frame pairs.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EncoderSettings
+from ..models.state import EncodeState, KeyFrameInfo, TileMapSoA
+from ..ops.color import rgb_to_lab
+from ..ops.metrics import pearson
+from ..ops.tiles import canonicalize, frame_to_tiles, pad_frame
+
+TILE_W = 8
+
+
+@jax.jit
+def _load_chunk(frames):
+    """frames [B, H, W, 3] uint8 -> (tiles_canon uint8, hmir, vmir, mean_lab).
+
+    mean_lab is computed on the ORIGINAL orientation (PrepareInterFrameData
+    runs before the mirror pass, tilingencoder.pas:1379 vs :1393).
+    """
+    B, H, W, _ = frames.shape
+    t = frames.reshape(B, H // TILE_W, TILE_W, W // TILE_W, TILE_W, 3)
+    t = t.transpose(0, 1, 3, 2, 4, 5).reshape(B, -1, TILE_W, TILE_W, 3)
+    tf = t.astype(jnp.float32)
+    mean_lab = jnp.mean(rgb_to_lab(tf), axis=(2, 3))  # [B, N, 3]
+    canon, hm, vm = canonicalize(tf)
+    return canon.astype(jnp.uint8), hm, vm, mean_lab
+
+
+def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
+         settings: EncoderSettings, chunk: int = 32,
+         manual_keyframes: Optional[List[int]] = None) -> EncodeState:
+    """Populate load-stage state from raw frames [F, H, W, 3] uint8."""
+    frames_rgb = np.ascontiguousarray(frames_rgb)
+    if frames_rgb.shape[1] % TILE_W or frames_rgb.shape[2] % TILE_W:
+        frames_rgb = np.stack([pad_frame(f) for f in frames_rgb])
+    F, H, W, _ = frames_rgb.shape
+    state.fps = float(fps)
+    state.tilemap_h = H // TILE_W
+    state.tilemap_w = W // TILE_W
+    state.frames_rgb = frames_rgb
+    N = state.tilemap_size
+
+    tiles = np.empty((F, N, TILE_W, TILE_W, 3), np.uint8)
+    hm = np.empty((F, N), bool)
+    vm = np.empty((F, N), bool)
+    lab = np.empty((F, N * 3), np.float32)
+    for i in range(0, F, chunk):
+        c = jnp.asarray(frames_rgb[i : i + chunk])
+        tc, h, v, ml = _load_chunk(c)
+        tiles[i : i + chunk] = np.asarray(tc)
+        hm[i : i + chunk] = np.asarray(h)
+        vm[i : i + chunk] = np.asarray(v)
+        lab[i : i + chunk] = np.asarray(ml, np.float32).reshape(len(ml), -1)
+
+    state.tiles_canon = tiles
+    tm = TileMapSoA.zeros(F, N)
+    tm.hmirror = hm
+    tm.vmirror = vm
+    state.tilemap = tm
+
+    # inter-frame Pearson correlation (tilingencoder.pas:1385-1388, :2201)
+    corr = np.ones(F, np.float32)
+    if F > 1:
+        corr[1:] = np.asarray(pearson(jnp.asarray(lab[:-1]), jnp.asarray(lab[1:]), axis=-1))
+    state.correlations = corr
+
+    # keyframe detection (FindKeyFrames, tilingencoder.pas:3361-3433)
+    kf_flags = np.zeros(F, bool)
+    if manual_keyframes is not None:
+        kf_flags[0] = True
+        for i in manual_keyframes:
+            if 0 <= i < F:
+                kf_flags[i] = True
+        reasons = {i: "manual" for i in range(F) if kf_flags[i]}
+    else:
+        reasons = {}
+        last_kf = -(2**30)
+        min_len = settings.shot_trans_min_seconds_per_kf * fps
+        max_len = settings.shot_trans_max_seconds_per_kf * fps
+        for i in range(F):
+            reason = None
+            if i == 0:
+                reason = "manual"
+            elif corr[i] < settings.shot_trans_correl_lo_thres:
+                reason = "decorrelation"
+            elif (i - last_kf) >= max_len:
+                reason = "length"
+            if reason is not None and (i - last_kf) < min_len:
+                reason = None
+            if reason is not None:
+                kf_flags[i] = True
+                reasons[i] = reason
+                last_kf = i
+
+    kf_idx = np.cumsum(kf_flags) - 1
+    state.frame_kf = kf_idx.astype(np.int32)
+    state.keyframes = []
+    starts = np.flatnonzero(kf_flags)
+    for k, s in enumerate(starts):
+        e = (starts[k + 1] - 1) if k + 1 < len(starts) else F - 1
+        state.keyframes.append(KeyFrameInfo(k, int(s), int(e), reasons.get(int(s), "manual")))
+    return state
