@@ -18,3 +18,7 @@ import jax  # noqa: E402
 # colorspace/DCT round-trips in its self-test); production TPU paths use
 # float32/bfloat16.
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the suite is compile-dominated otherwise
+jax.config.update("jax_compilation_cache_dir", "/tmp/tiler_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

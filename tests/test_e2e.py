@@ -1,0 +1,125 @@
+"""End-to-end slice: synthetic clip -> full 8-step pipeline -> .gtm ->
+pixel decode (JS-decoder-semantics oracle) -> quality sanity."""
+import numpy as np
+import pytest
+
+from tiler_tpu.config import EncoderSettings
+from tiler_tpu.pipeline.encoder import Encoder
+from tiler_tpu.bitstream.gtm import GTMDecoder, GTMReader
+
+
+def synthetic_clip(F=10, H=48, W=64, seed=3):
+    """Moving blocks over a gradient; motion-predictable, palettizable."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:H, 0:W]
+    bg = np.stack([
+        (yy * 255 // H), (xx * 255 // W), ((yy + xx) * 255 // (H + W))
+    ], -1).astype(np.uint8)
+    frames = []
+    for f in range(F):
+        img = bg.copy()
+        # moving square
+        x0 = (4 + 3 * f) % (W - 16)
+        y0 = (6 + 2 * f) % (H - 16)
+        img[y0 : y0 + 16, x0 : x0 + 16] = [220, 40, 40]
+        img[y0 + 4 : y0 + 12, x0 + 4 : x0 + 12] = [40, 220, 40]
+        frames.append(img)
+    return np.stack(frames)
+
+
+def _settings():
+    return EncoderSettings(
+        palette_count=8,
+        palette_size=16,
+        motion_predict_radius=8,
+        global_tiling_quality_based_tile_count=2.0,
+        epu_knn_k=8,
+        kmeans_iters=8,
+    )
+
+
+def _psnr_rgb(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255 * 255 / max(mse, 1e-9))
+
+
+@pytest.fixture(scope="module")
+def encoded(tmp_path_factory):
+    path = tmp_path_factory.mktemp("e2e") / "out.gtm"
+    clip = synthetic_clip()
+    enc = Encoder(_settings(), log=lambda *a: None)
+    enc.run_all(clip, fps=25.0, out_path=str(path))
+    return clip, enc, str(path)
+
+
+def test_pipeline_produces_playable_stream(encoded):
+    clip, enc, path = encoded
+    dec = GTMDecoder(path)
+    frames = dec.decode_frames()
+    assert len(frames) == len(clip)
+    assert frames[0].shape == (48, 64, 4)
+    # lossy, but should be clearly recognizable
+    p = _psnr_rgb(np.stack(frames)[..., :3], clip)
+    assert p > 20.0, f"decoded PSNR too low: {p:.2f} dB"
+
+
+def test_decoded_matches_encoder_reconstruction(encoded):
+    """The decoder's output must match the encoder's own reconstruction
+    model: re-render from state and compare to the decoded stream."""
+    clip, enc, path = encoded
+    frames = GTMDecoder(path).decode_frames()
+    st = enc.state
+    # re-render frame 0 from state (all cells are tile commands on KF start)
+    tm = st.tilemap
+    pal = st.palettes_rgb
+    pp = st.corpus_pal_pixels
+    th, tw = st.tilemap_h, st.tilemap_w
+    out = np.zeros((st.height, st.width, 3), np.uint8)
+    for c in range(st.tilemap_size):
+        y, x = divmod(c, tw)
+        assert not tm.predicted[0, c]  # keyframe start: no prediction
+        t = pp[tm.tile_idx[0, c]]
+        if tm.hmirror[0, c]:
+            t = t[:, ::-1]
+        if tm.vmirror[0, c]:
+            t = t[::-1]
+        out[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = pal[tm.pal_idx[0, c]][t]
+    assert np.array_equal(frames[0][..., :3], out)
+
+
+def test_stream_reimports(encoded):
+    clip, enc, path = encoded
+    g = GTMReader.read(path)
+    assert g.width == 64 and g.height == 48
+    assert len(g.frames) == len(clip)
+    assert g.palette_size == 16
+    assert "PaletteSize=16" in g.settings_text
+    assert abs(g.fps - 25.0) < 0.01
+
+
+def test_psnr_stats_populated(encoded):
+    clip, enc, path = encoded
+    # PSNR-HVS (weighted-DCT domain, by tile) at these low-quality settings
+    assert enc.state.total_psnr > 15.0
+    assert len(enc.state.kf_psnr) == len(enc.state.keyframes)
+    assert enc.stats.total_bytes > 0
+
+
+def test_motion_reduces_second_frame_cost(encoded):
+    """Most cells of non-keyframe frames should be motion-predicted on this
+    trivially predictable clip."""
+    clip, enc, path = encoded
+    tm = enc.state.tilemap
+    pred_frac = tm.predicted[1:].mean()
+    assert pred_frac > 0.5, f"only {pred_frac:.0%} predicted"
+
+
+def test_checkpoint_roundtrip(tmp_path, encoded):
+    clip, enc, path = encoded
+    ck = tmp_path / "enc.ckpt"
+    enc.save_checkpoint(str(ck))
+    enc2 = Encoder.load_checkpoint(str(ck), log=lambda *a: None)
+    assert enc2.state.n_frames == enc.state.n_frames
+    out2 = tmp_path / "again.gtm"
+    enc2.save(str(out2))
+    assert open(path, "rb").read() == open(str(out2), "rb").read()

@@ -99,7 +99,7 @@ class EncoderSettings:
                 v = int(v)
             cp.set(section, key, str(v))
         buf = io.StringIO()
-        cp.write(buf)
+        cp.write(buf, space_around_delimiters=False)
         return buf.getvalue()
 
     @classmethod

@@ -1,0 +1,153 @@
+"""Encoder facade: the 8-step pipeline driver (TTilingEncoder.Run parity,
+tilingencoder.pas:5529-5554) with step timing/progress telemetry
+(ProgressRedraw, :3904-3979) and per-stage checkpointing."""
+from __future__ import annotations
+
+import pickle
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import EncoderSettings
+from ..models.state import EncodeState
+from . import dither as dither_mod
+from . import load as load_mod
+from . import palettes as palettes_mod
+from . import predict as predict_mod
+from . import reconstruct as reconstruct_mod
+from . import reduce as reduce_mod
+from . import reindex as reindex_mod
+from . import save as save_mod
+
+STEPS = (
+    "load",
+    "predict_motion",
+    "reduce",
+    "prepare_palettes",
+    "dither",
+    "reconstruct",
+    "reindex",
+    "save",
+)
+
+
+class Encoder:
+    """Drives an EncodeState through the pipeline steps."""
+
+    def __init__(self, settings: Optional[EncoderSettings] = None, log=print):
+        self.settings = settings or EncoderSettings()
+        self.state = EncodeState()
+        self.log = log or (lambda *_: None)
+        self.timings = {}
+        self.stats = None
+
+    # --- ingest -----------------------------------------------------------
+    def load_frames(self, frames_rgb: np.ndarray, fps: float = 24.0,
+                    manual_keyframes=None):
+        t0 = time.monotonic()
+        self.state = load_mod.load(
+            EncodeState(), frames_rgb, fps, self.settings,
+            manual_keyframes=manual_keyframes,
+        )
+        self._stamp("load", t0)
+        kfs = self.state.keyframes
+        self.log(f"{self.state.n_frames} frames, {self.state.width}x{self.state.height} @ {fps:.3f} fps, {len(kfs)} keyframes")
+        return self
+
+    def load_video(self, path: Optional[str] = None):
+        from ..io import video
+
+        path = path or self.settings.input_file_name
+        frames, fps = video.load_video(
+            path,
+            start_frame=self.settings.start_frame,
+            frame_count=self.settings.frame_count or None,
+            scaling=self.settings.scaling,
+        )
+        manual = video.manual_keyframes(path, self.settings.start_frame, len(frames))
+        return self.load_frames(frames, fps, manual_keyframes=manual)
+
+    # --- steps ------------------------------------------------------------
+    def predict_motion(self):
+        t0 = time.monotonic()
+        predict_mod.predict_motion(self.state, self.settings)
+        self._stamp("predict_motion", t0)
+        return self
+
+    def reduce(self):
+        t0 = time.monotonic()
+        reduce_mod.reduce_tiles(self.state, self.settings)
+        self._stamp("reduce", t0)
+        self.log(f"corpus: {len(self.state.corpus_rgb)} tiles")
+        return self
+
+    def prepare_palettes(self):
+        t0 = time.monotonic()
+        palettes_mod.prepare_palettes(self.state, self.settings)
+        self._stamp("prepare_palettes", t0)
+        return self
+
+    def dither(self):
+        t0 = time.monotonic()
+        dither_mod.dither(self.state, self.settings)
+        self._stamp("dither", t0)
+        return self
+
+    def reconstruct(self):
+        t0 = time.monotonic()
+        reconstruct_mod.reconstruct(self.state, self.settings)
+        self._stamp("reconstruct", t0)
+        for kf in self.state.keyframes:
+            self.log(f"KF {kf.start_frame:6d} PSNR-HVS: {self.state.kf_psnr[kf.index]:10.6f} (by tile)")
+        self.log(f"All {self.state.n_frames:6d} PSNR-HVS: {self.state.total_psnr:10.6f} (by tile)")
+        return self
+
+    def reindex(self):
+        t0 = time.monotonic()
+        reindex_mod.reindex(self.state, self.settings)
+        self._stamp("reindex", t0)
+        self.log(f"reindex: {len(self.state.corpus_pal_pixels)} final tiles")
+        return self
+
+    def save(self, path: Optional[str] = None):
+        t0 = time.monotonic()
+        self.stats = save_mod.save(self.state, self.settings, path or self.settings.output_file_name)
+        self._stamp("save", t0)
+        s = self.stats
+        kbps = s.total_bytes / 1024.0 * 8.0 / max(1, s.frame_count) * self.state.fps
+        self.log(f"written {s.total_bytes} bytes ({kbps:.2f} kbps)")
+        return self
+
+    def run_all(self, frames_rgb=None, fps: float = 24.0, out_path=None):
+        if frames_rgb is not None:
+            self.load_frames(frames_rgb, fps)
+        elif self.state.n_frames == 0:
+            self.load_video()
+        return (
+            self.predict_motion()
+            .reduce()
+            .prepare_palettes()
+            .dither()
+            .reconstruct()
+            .reindex()
+            .save(out_path)
+        )
+
+    # --- checkpoint/resume --------------------------------------------------
+    def save_checkpoint(self, path: str):
+        with open(path, "wb") as f:
+            pickle.dump({"state": self.state, "settings": self.settings}, f)
+
+    @classmethod
+    def load_checkpoint(cls, path: str, log=print) -> "Encoder":
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        enc = cls(d["settings"], log=log)
+        enc.state = d["state"]
+        return enc
+
+    def _stamp(self, step: str, t0: float):
+        dt = time.monotonic() - t0
+        self.timings[step] = dt
+        self.log(f"[{step}] {dt:.3f}s")

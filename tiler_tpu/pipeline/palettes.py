@@ -1,0 +1,234 @@
+"""esPreparePalettes: palettization, per-palette color quantization, and
+cross-palette permutation optimization.
+
+Reference pipeline (tilingencoder.pas:1843-1871, :4105-4562):
+  (a) DoPalettization: BICO streaming coreset (k = PaletteCount*8) over
+      per-tile Spe-DCT/LAB features -> ANN kd-tree assignment -> yakmo
+      k-means of the coreset centroids into PaletteCount palettes.
+  (b) DoQuantization: per palette, yakmo k-means of member tiles' RGB
+      pixels to PaletteSize colors, HSV (Val,Sat,Hue) ascending sort.
+  (c) OptimizePalettes: per-palette color-order permutation maximizing the
+      accumulated cross-palette per-slot stddev (Powell relaxation).
+
+TPU-native mapping: the corpus fits HBM, so (a) is two levels of exact
+weighted k-means + brute-force 1-NN (no coreset, no kd-tree — exact
+replaces approximate). (b) dedups member pixels into weighted color sets
+and runs one vmapped k-means over all palettes. (c) evaluates the exact
+objective over all pairwise swaps per palette, vectorized over palettes —
+a 2-opt search on the true objective instead of Powell on a rank
+relaxation (same fixed-point family, no permutation-order hacks).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import EncoderSettings
+from ..models.state import EncodeState
+from ..cluster.kmeans import kmeans, assign_nearest
+from ..ops import dct
+from ..ops.color import rgb_to_hsv_bytes, posterize
+
+RED_MUL, GREEN_MUL, BLUE_MUL, LUMA_DIV = 299, 587, 114, 1000
+
+
+def _corpus_features(state: EncodeState, settings: EncoderSettings, chunk=65536):
+    """Per-tile dither-mode features in LAB (ComputeTilePsyVisFeatures with
+    DitheringMode + UseLAB, tilingencoder.pas:4160)."""
+    T = len(state.corpus_rgb)
+    out = np.empty((T, 192), np.float32)
+    for i in range(0, T, chunk):
+        tiles = jnp.asarray(state.corpus_rgb[i : i + chunk], jnp.float32)
+        out[i : i + chunk] = np.asarray(
+            dct.tile_features(tiles, mode=settings.dithering_mode, use_lab=True)
+        )
+    return out
+
+
+def palettization(state: EncodeState, settings: EncoderSettings) -> EncodeState:
+    feats = _corpus_features(state, settings)
+    T = len(feats)
+    P = settings.palette_count
+    k1 = min(P * 8, T)  # BICO coreset size (tilingencoder.pas:4149)
+
+    cents, assign1, _ = kmeans(
+        feats, k1, weights=state.corpus_use.astype(np.float32),
+        iters=settings.kmeans_iters, seed=settings.seed, init="sample",
+    )
+    k1 = int(cents.shape[0])
+    if k1 > P and P > 1:
+        _, assign2, _ = kmeans(
+            np.asarray(cents), P, iters=settings.kmeans_iters,
+            seed=settings.seed + 1, init="kpp",
+        )
+        pal_of_c1 = np.asarray(assign2)
+    elif k1 > P:  # P == 1
+        pal_of_c1 = np.zeros(k1, np.int64)
+    else:
+        pal_of_c1 = np.arange(k1)
+
+    pal_initial = pal_of_c1[np.asarray(assign1)]  # [T]
+
+    # sort palettes by (per-tile) use count desc (:4223-4244)
+    use = np.bincount(pal_initial, minlength=P)
+    order = np.argsort(-use, kind="stable")
+    lut = np.empty(P, np.int64)
+    lut[order] = np.arange(P)
+    state.corpus_pal_initial = lut[pal_initial].astype(np.int32)
+    return state
+
+
+def _member_color_sets(state: EncodeState, P: int, cap: int):
+    """Per-palette unique member RGB colors + pixel counts, padded to cap."""
+    T = len(state.corpus_rgb)
+    pix = state.corpus_rgb.reshape(T, 64, 3).astype(np.int64)
+    pal = np.repeat(state.corpus_pal_initial.astype(np.int64), 64)
+    key = (pal << 24) | (pix[..., 0].reshape(-1) << 16) | (pix[..., 1].reshape(-1) << 8) | pix[..., 2].reshape(-1)
+    uniq, counts = np.unique(key, return_counts=True)
+    upal = (uniq >> 24).astype(np.int64)
+    ur = (uniq >> 16) & 0xFF
+    ug = (uniq >> 8) & 0xFF
+    ub = uniq & 0xFF
+    cols = np.zeros((P, cap, 3), np.float32)
+    wts = np.zeros((P, cap), np.float32)
+    npix = np.zeros(P, np.int64)
+    for p in range(P):
+        m = upal == p
+        n = int(m.sum())
+        npix[p] = counts[m].sum()
+        n = min(n, cap)
+        idx = np.flatnonzero(m)
+        if n < m.sum():  # keep the most frequent colors when over cap
+            idx = idx[np.argsort(-counts[m])[:n]]
+        cols[p, :n, 0] = ur[idx]
+        cols[p, :n, 1] = ug[idx]
+        cols[p, :n, 2] = ub[idx]
+        wts[p, :n] = counts[idx]
+    return cols, wts, npix
+
+
+def quantization(state: EncodeState, settings: EncoderSettings,
+                 color_cap: int = 4096) -> EncodeState:
+    P, S = settings.palette_count, settings.palette_size
+    cols, wts, npix = _member_color_sets(state, P, color_cap)
+
+    def one(colors, weights, seed):
+        c, _, _ = _kmeans_small(colors, weights, S, settings.kmeans_iters, seed)
+        return c
+
+    seeds = jnp.arange(P) + settings.seed
+    cents = jax.vmap(one)(jnp.asarray(cols), jnp.asarray(wts), seeds)
+    cents = np.asarray(cents)  # [P, S, 3]
+
+    rgb = np.clip(np.round(np.nan_to_num(cents)), 0, 255).astype(np.int64)
+    rgb = posterize(rgb, 255)  # identity at 8bpc (cBitsPerComp, :4552)
+
+    # valid color count per palette = min(S, member pixel count) (:4449)
+    ncols = np.minimum(S, npix)
+    valid = np.arange(S)[None, :] < ncols[:, None]
+    rgb[~valid] = 0
+
+    # HSV (Val, Sat, Hue) ascending sort of the valid prefix (:4518-4529)
+    hsv = rgb_to_hsv_bytes(rgb)
+    sort_key = np.where(
+        valid,
+        (hsv[..., 2] << 16) | (hsv[..., 1] << 8) | hsv[..., 0],
+        1 << 40,  # invalid slots sort last
+    )
+    order = np.argsort(sort_key, axis=1, kind="stable")
+    rgb = np.take_along_axis(rgb, order[..., None], axis=1)
+    valid = np.take_along_axis(valid, order, axis=1)
+
+    state.palettes_rgb = rgb.astype(np.uint8)
+    state.palettes_valid = valid
+    return state
+
+
+def _kmeans_small(points, weights, k, iters, seed):
+    """Weighted k-means for small per-palette color sets (vmappable)."""
+    key = jax.random.PRNGKey(seed)
+    n = points.shape[0]
+    g = jax.random.gumbel(key, (n,))
+    keys_ = jnp.where(weights > 0, jnp.log(jnp.maximum(weights, 1e-30)), -jnp.inf) + g
+    _, idx = jax.lax.top_k(keys_, k)
+    cents = points[idx]
+
+    def lloyd(cents, _):
+        d2 = (
+            jnp.sum(points * points, 1, keepdims=True)
+            - 2 * points @ cents.T
+            + jnp.sum(cents * cents, 1)[None]
+        )
+        a = jnp.argmin(d2, 1)
+        oh = jax.nn.one_hot(a, k, dtype=points.dtype) * weights[:, None]
+        cnt = oh.sum(0)
+        s = jnp.einsum("nk,nd->kd", oh, points, precision="highest")
+        return jnp.where(cnt[:, None] > 0, s / jnp.maximum(cnt[:, None], 1e-30), cents), None
+
+    cents, _ = jax.lax.scan(lloyd, cents, None, length=iters)
+    return cents, None, None
+
+
+def optimize_palettes(state: EncodeState, settings: EncoderSettings,
+                      max_rounds: int = 16) -> EncodeState:
+    """2-opt swap search on the exact OptimizePalettes objective
+    (PowellOP, tilingencoder.pas:4265-4307): maximize
+      sum_c w_c * sqrt( sum_slot (acc_c[slot] + pal_c[slot] - mean_c)^2 / S )
+    where acc = per-slot sum over the other palettes and mean = grand
+    total / PaletteSize (:4374-4380). Stepwise over palettes until no gain
+    (:4394-4421)."""
+    P, S = settings.palette_count, settings.palette_size
+    pal = state.palettes_rgb.astype(np.float64)  # [P, S, 3]
+    valid = state.palettes_valid.copy()
+    wch = np.array([RED_MUL, GREEN_MUL, BLUE_MUL], np.float64) / LUMA_DIV
+
+    mean = pal.sum(axis=(0, 1)) / S  # [3] (MeanR/G/B, :4374-4380)
+    prev_obj = -np.inf
+    for _ in range(max_rounds):
+        acc = pal.sum(axis=0, keepdims=True) - pal  # [P, S, 3] per-slot others
+        t = acc - mean[None, None, :]  # base terms
+        # inner 2-opt per palette (vectorized over palettes)
+        for _inner in range(S * S):
+            d = t + pal  # [P, S, 3]
+            ss = np.sum(d * d, axis=1)  # [P, 3]
+            # delta for swapping slots i, j: affects slots i and j only
+            ti = t[:, :, None, :]  # [P, i, 1, 3]
+            tj = t[:, None, :, :]
+            ri = pal[:, :, None, :]
+            rj = pal[:, None, :, :]
+            dss = (ti + rj) ** 2 + (tj + ri) ** 2 - (ti + ri) ** 2 - (tj + rj) ** 2
+            obj_new = np.sum(wch * np.sqrt(np.maximum(ss[:, None, None, :] + dss, 0) / S), -1)
+            obj_cur = np.sum(wch * np.sqrt(ss / S), -1)  # [P]
+            gain = obj_new - obj_cur[:, None, None]
+            iu = np.triu_indices(S, 1)
+            gain_flat = gain[:, iu[0], iu[1]]
+            best = np.argmax(gain_flat, axis=1)
+            bg = gain_flat[np.arange(P), best]
+            if np.all(bg <= 1e-9):
+                break
+            bi, bj = iu[0][best], iu[1][best]
+            do = bg > 1e-9
+            rows = np.flatnonzero(do)
+            pi = pal[rows, bi[rows]].copy()
+            pal[rows, bi[rows]] = pal[rows, bj[rows]]
+            pal[rows, bj[rows]] = pi
+            vi = valid[rows, bi[rows]].copy()
+            valid[rows, bi[rows]] = valid[rows, bj[rows]]
+            valid[rows, bj[rows]] = vi
+        dall = (pal.sum(axis=0, keepdims=True) - pal) + pal - mean[None, None, :]
+        obj = float(np.mean(np.sum(wch * np.sqrt(np.sum(dall**2, 1) / S), -1)))
+        if obj <= prev_obj + 1e-9:
+            break
+        prev_obj = obj
+
+    state.palettes_rgb = pal.astype(np.uint8)
+    state.palettes_valid = valid
+    return state
+
+
+def prepare_palettes(state: EncodeState, settings: EncoderSettings) -> EncodeState:
+    state = palettization(state, settings)
+    state = quantization(state, settings)
+    state = optimize_palettes(state, settings)
+    return state
