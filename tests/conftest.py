@@ -5,7 +5,7 @@ hardware is not available in CI); the bench path uses the real TPU chip.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # the harness env pins axon (real TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +13,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # float64 for the exact math-invariant tests (the reference asserts exact
 # colorspace/DCT round-trips in its self-test); production TPU paths use

@@ -1,0 +1,53 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tiler_tpu.parallel import make_mesh, sharded_topk, sharded_lloyd_step
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 cpu devices"
+    return make_mesh(8, ("corpus",))
+
+
+def test_sharded_topk_matches_dense(mesh):
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(32, 64).astype(np.float32))
+    ds = jnp.asarray(rng.randn(640, 64).astype(np.float32))
+    idx, err = sharded_topk(feats, ds, 5, mesh)
+    # dense oracle
+    d2 = (
+        np.sum(np.asarray(feats) ** 2, 1, keepdims=True)
+        - 2 * np.asarray(feats) @ np.asarray(ds).T
+        + np.sum(np.asarray(ds) ** 2, 1)[None]
+    )
+    want = np.argsort(d2, axis=1)[:, :5]
+    got_err = np.take_along_axis(d2, np.asarray(idx), axis=1)
+    want_err = np.take_along_axis(d2, want, axis=1)
+    assert np.allclose(np.sort(got_err, 1), np.sort(want_err, 1), rtol=1e-4, atol=1e-3)
+    assert np.allclose(np.asarray(err), got_err, rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_lloyd_matches_single_device(mesh):
+    rng = np.random.RandomState(1)
+    pts = jnp.asarray(rng.randn(800, 16).astype(np.float32))
+    w = jnp.asarray(rng.rand(800).astype(np.float32))
+    c0 = jnp.asarray(rng.randn(10, 16).astype(np.float32))
+    got = sharded_lloyd_step(pts, w, c0, mesh)
+    # single-device oracle
+    d2 = (
+        np.sum(np.asarray(pts) ** 2, 1, keepdims=True)
+        - 2 * np.asarray(pts) @ np.asarray(c0).T
+        + np.sum(np.asarray(c0) ** 2, 1)[None]
+    )
+    a = np.argmin(d2, 1)
+    want = np.asarray(c0).copy()
+    for k in range(10):
+        m = a == k
+        if m.any():
+            ww = np.asarray(w)[m]
+            want[k] = (np.asarray(pts)[m] * ww[:, None]).sum(0) / ww.sum()
+    assert np.allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
