@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Driver benchmark: full-pipeline GTM encode throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 30 fps at 720p on one v5e chip (BASELINE.md).
+
+The first pass warms the persistent compilation cache (the axon remote
+compile is slow and its latency is not an encoder property); the reported
+number is the steady-state wall-clock fps of the second full encode,
+including host bitstream assembly and LZMA.
+
+Env knobs: TILER_BENCH_W/H (default 1280x720), TILER_BENCH_FRAMES (8),
+TILER_BENCH_PALETTES (128), TILER_BENCH_EPU_K (16).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def synthetic_clip(F, H, W, seed=0):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:H, 0:W]
+    base = np.stack(
+        [(yy * 255 // H), (xx * 255 // W), ((yy + xx) * 255 // (H + W))], -1
+    ).astype(np.uint8)
+    noise = rng.randint(0, 30, (H, W, 3)).astype(np.uint8)
+    frames = []
+    for f in range(F):
+        img = np.roll(base + noise, (3 * f, 5 * f), (0, 1))
+        x0 = (40 + 11 * f) % (W - 64)
+        y0 = (30 + 7 * f) % (H - 64)
+        img[y0 : y0 + 64, x0 : x0 + 64] = [220, 40, 40]
+        frames.append(img)
+    return np.stack(frames)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tiler_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from tiler_tpu.config import EncoderSettings
+    from tiler_tpu.pipeline.encoder import Encoder
+    from tiler_tpu.bitstream.gtm import GTMDecoder
+
+    W = int(os.environ.get("TILER_BENCH_W", 1280))
+    H = int(os.environ.get("TILER_BENCH_H", 720))
+    F = int(os.environ.get("TILER_BENCH_FRAMES", 8))
+    P = int(os.environ.get("TILER_BENCH_PALETTES", 128))
+    EK = int(os.environ.get("TILER_BENCH_EPU_K", 16))
+
+    log(f"bench: {W}x{H} x{F} frames on {jax.devices()}")
+    clip = synthetic_clip(F, H, W)
+    settings = EncoderSettings(
+        palette_count=P,
+        palette_size=16,
+        motion_predict_radius=32,
+        global_tiling_quality_based_tile_count=7.0,
+        epu_knn_k=EK,
+        kmeans_iters=10,
+    )
+
+    out = "/tmp/tiler_bench.gtm"
+    # warmup (compiles)
+    t0 = time.time()
+    enc = Encoder(settings, log=log)
+    enc.run_all(clip, fps=25.0, out_path=out)
+    log(f"warmup encode: {time.time()-t0:.1f}s")
+
+    # timed steady-state
+    t0 = time.time()
+    enc = Encoder(settings, log=lambda *a: None)
+    enc.run_all(clip, fps=25.0, out_path=out)
+    wall = time.time() - t0
+    fps = F / wall
+
+    # sanity: stream must decode to the right frame count
+    frames = GTMDecoder(out).decode_frames()
+    assert len(frames) == F, "bench stream failed to decode"
+    log(
+        f"steady encode: {wall:.1f}s = {fps:.3f} fps | "
+        f"PSNR-HVS {enc.state.total_psnr:.2f} dB | {enc.stats.total_bytes} bytes"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"encode_fps_{H}p",
+                "value": round(fps, 4),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 30.0, 5),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

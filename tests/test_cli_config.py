@@ -1,0 +1,72 @@
+"""CLI + settings round-trip tests."""
+import numpy as np
+
+from tiler_tpu.config import EncoderSettings, equal_quality_tile_count
+from tiler_tpu import cli
+
+
+def test_ini_roundtrip():
+    s = EncoderSettings(palette_count=77, motion_predict_radius=9,
+                        dithering_mode="spe_dct", scaling=0.5,
+                        global_tiling_use_target_psnr=True)
+    text = s.to_ini()
+    assert "PaletteCount=77" in text
+    s2 = EncoderSettings.from_ini(text)
+    assert s2.palette_count == 77
+    assert s2.motion_predict_radius == 9
+    assert s2.dithering_mode == "spe_dct"
+    assert s2.scaling == 0.5
+    assert s2.global_tiling_use_target_psnr is True
+
+
+def test_reads_reference_style_ini(tmp_path):
+    # key surface parity with the reference encoder's own settings dumps
+    ini = """[Load]
+InputFileName=in.y4m
+OutputFileName=out.gtm
+FrameCount=10
+Scaling=1
+ShotTransCorrelLoThres=0.7
+
+[MotionPredict]
+MotionPredictRadius=16
+
+[Dither]
+PaletteSize=16
+PaletteCount=128
+DitheringMode=4
+DitheringUseThomasKnoll=1
+"""
+    p = tmp_path / "s.ini"
+    p.write_text(ini)
+    s = EncoderSettings.from_ini(str(p))
+    assert s.input_file_name == "in.y4m"
+    assert s.frame_count == 10
+    assert s.motion_predict_radius == 16
+    assert s.palette_count == 128
+    assert s.dithering_mode == "weighted_spe_dct"  # mode index 4
+    assert s.shot_trans_correl_lo_thres == 0.7
+
+
+def test_derived_tile_count():
+    # GlobalTilingTileCount = quality * sqrt(N) * log2(1+N) (utils.pas:1038)
+    s = EncoderSettings(global_tiling_quality_based_tile_count=7.0)
+    n = 300 * 1584
+    assert s.derived_tile_count(n) == round(7.0 * equal_quality_tile_count(n))
+    s2 = EncoderSettings(global_tiling_tile_count=1234)
+    assert s2.derived_tile_count(n) == 1234
+
+
+def test_cli_selftest():
+    assert cli.main(["selftest"]) == 0
+
+
+def test_cli_info_on_demo(capsys):
+    import os
+
+    demo = "/root/reference/docs/demo/football_cif.gtm"
+    if not os.path.exists(demo):
+        return
+    assert cli.main(["info", demo]) == 0
+    out = capsys.readouterr().out
+    assert '"frame_count": 260' in out

@@ -1,0 +1,169 @@
+"""Headless CLI.
+
+Parity with the reference's entry point (tiler.lpr:49-73): a single
+settings-file argument runs the full encode. Extra subcommands cover the
+GUI-only capabilities (preview/export/inspect, main.pas:15-163):
+
+  tiler-tpu <settings.ini>              full encode (reference CLI parity)
+  tiler-tpu encode -i IN -o OUT [...]   encode with flag overrides
+  tiler-tpu decode IN.gtm OUT.y4m       decode to Y4M (or PNG dir)
+  tiler-tpu info IN.gtm                 header / keyframe / settings dump
+  tiler-tpu selftest                    math invariants (TTilingEncoder.Test)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _encoder_from_settings(path_or_none, overrides):
+    from .config import EncoderSettings
+
+    s = EncoderSettings.from_ini(path_or_none) if path_or_none else EncoderSettings()
+    for k, v in overrides.items():
+        if v is not None:
+            setattr(s, k, v)
+    return s
+
+
+def cmd_encode(args):
+    from .pipeline.encoder import Encoder
+
+    settings = _encoder_from_settings(
+        args.settings,
+        dict(
+            input_file_name=args.input,
+            output_file_name=args.output,
+            palette_count=args.palette_count,
+            palette_size=args.palette_size,
+            motion_predict_radius=args.radius,
+            global_tiling_quality_based_tile_count=args.quality,
+            frame_count=args.frames,
+        ),
+    )
+    enc = Encoder(settings)
+    enc.run_all()
+    if args.export_y4m:
+        from .bitstream.gtm import GTMDecoder
+        from .io.export import write_y4m
+
+        frames = GTMDecoder(settings.output_file_name).decode_frames()
+        write_y4m(args.export_y4m, [f[..., :3] for f in frames], enc.state.fps)
+    if args.export_pngs:
+        from .bitstream.gtm import GTMDecoder
+        from .io.export import write_pngs
+
+        frames = GTMDecoder(settings.output_file_name).decode_frames()
+        write_pngs(args.export_pngs, frames, enc.state.palettes_rgb)
+    return 0
+
+
+def cmd_decode(args):
+    from .bitstream.gtm import GTMDecoder
+
+    dec = GTMDecoder(args.input)
+    frames = dec.decode_frames()
+    fps = 24.0
+    if dec.header and dec.header.get("keyframes"):
+        pass
+    if args.output.endswith(".y4m"):
+        from .io.export import write_y4m
+
+        write_y4m(args.output, [f[..., :3] for f in frames], fps)
+    else:
+        from .io.export import write_pngs
+
+        write_pngs(args.output, frames)
+    print(f"decoded {len(frames)} frames")
+    return 0
+
+
+def cmd_info(args):
+    from .bitstream.gtm import GTMReader, parse_header
+
+    raw = open(args.input, "rb").read()
+    h = parse_header(raw)
+    print(json.dumps(h, indent=2))
+    if args.full:
+        g = GTMReader.read(raw)
+        print(f"tiles: {g.tile_count}, palettes: {0 if g.palettes_rgb is None else len(g.palettes_rgb)}, "
+              f"palette_size: {g.palette_size}, frames: {len(g.frames)}")
+        print("--- embedded settings ---")
+        print(g.settings_text)
+    return 0
+
+
+def cmd_selftest(args):
+    """Math invariants, mirroring TTilingEncoder.Test
+    (tilingencoder.pas:3847-3902)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from .ops import color, dct
+
+    rng = np.random.RandomState(0x42381337 & 0x7FFFFFFF)
+    rgb = rng.randint(0, 256, (10000, 3)).astype(np.float64)
+    assert np.array_equal(np.asarray(color.yuv_to_rgb(color.rgb_to_yuv(jnp.asarray(rgb)))), rgb), "YUV"
+    assert np.array_equal(np.asarray(color.lab_to_rgb(color.rgb_to_lab(jnp.asarray(rgb)))), rgb), "LAB"
+    i = np.arange(8)[:, None]
+    j = np.arange(8)[None, :]
+    t = jnp.asarray(np.stack([i * 8 + 0 * j, j * 32 + 0 * i, i * j], -1).astype(np.float64))
+    for mode in ("dct", "weighted_dct", "wavelets"):
+        back = dct.inv_tile_features(dct.tile_features(t, mode=mode), mode=mode)
+        assert np.array_equal(np.asarray(back), np.asarray(t)), mode
+    print("selftest ok")
+    return 0
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # reference parity: single argument = settings file, run all
+    if len(argv) == 1 and not argv[0].startswith("-") and argv[0] not in (
+        "encode", "decode", "info", "selftest",
+    ):
+        from .pipeline.encoder import Encoder
+
+        enc = Encoder(_encoder_from_settings(argv[0], {}))
+        enc.run_all()
+        return 0
+
+    p = argparse.ArgumentParser(prog="tiler-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode")
+    e.add_argument("-i", "--input", help="video/y4m/image-sequence path")
+    e.add_argument("-o", "--output", help="output .gtm path")
+    e.add_argument("-s", "--settings", help="settings .ini")
+    e.add_argument("--palette-count", type=int, dest="palette_count")
+    e.add_argument("--palette-size", type=int, dest="palette_size")
+    e.add_argument("--radius", type=int)
+    e.add_argument("--quality", type=float)
+    e.add_argument("--frames", type=int)
+    e.add_argument("--export-y4m")
+    e.add_argument("--export-pngs")
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode")
+    d.add_argument("input")
+    d.add_argument("output")
+    d.set_defaults(fn=cmd_decode)
+
+    i = sub.add_parser("info")
+    i.add_argument("input")
+    i.add_argument("--full", action="store_true")
+    i.set_defaults(fn=cmd_info)
+
+    t = sub.add_parser("selftest")
+    t.set_defaults(fn=cmd_selftest)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

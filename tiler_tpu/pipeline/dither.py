@@ -181,44 +181,66 @@ def yliluoma2_lists(pix_rgb, pal_rgb, pal_valid, S: int, mixed: int):
     return jnp.take_along_axis(lists, order, axis=1), plan_count
 
 
-def dither(state: EncodeState, settings: EncoderSettings, chunk: int = 4096) -> EncodeState:
+@functools.partial(jax.jit, static_argnames=("S", "use_tk", "mixed"))
+def _dither_chunk(tiles_u8, pidx, hm, vm, pal_rgb, pal_valid,
+                  S: int, use_tk: bool, mixed: int):
+    """Dither one chunk of tiles fully on device.
+
+    tiles_u8 [n,8,8,3] uint8; pidx [n] int32; hm/vm [n] bool (initial
+    mirrors -> mirrored Bayer map); pal_rgb [P,S,3] int32;
+    pal_valid [P,S] bool. Returns [n,8,8] uint8 palette indexes."""
+    n = tiles_u8.shape[0]
+    bay = jnp.broadcast_to(jnp.asarray(BAYER8), (n, 8, 8))
+    bay = jnp.where(hm[:, None, None], bay[:, :, ::-1], bay)
+    bay = jnp.where(vm[:, None, None], bay[:, ::-1, :], bay)
+    mapv = bay.reshape(n * 64)
+    pix = tiles_u8.astype(jnp.int32).reshape(n * 64, 3)
+    prgb = jnp.repeat(pal_rgb[pidx], 64, axis=0)  # device-side gather
+    pvalid = jnp.repeat(pal_valid[pidx], 64, axis=0)
+    if use_tk:
+        lists = thomas_knoll_lists(pix, prgb, pvalid, S)
+        sel = jnp.take_along_axis(lists, mapv[:, None], axis=1)[:, 0]
+    else:
+        lists, count = yliluoma2_lists(pix, prgb, pvalid, S, mixed)
+        rank = (mapv * count) >> 6
+        sel = jnp.take_along_axis(lists, rank[:, None], axis=1)[:, 0]
+    return sel.reshape(n, 8, 8).astype(jnp.uint8)
+
+
+def dither(state: EncodeState, settings: EncoderSettings, chunk: int = 16384) -> EncodeState:
     T = len(state.corpus_rgb)
     S = settings.palette_size
-    pal_rgb_all = state.palettes_rgb.astype(np.int32)  # [P, S, 3]
-    pal_valid_all = state.palettes_valid
+    pal_rgb = jnp.asarray(state.palettes_rgb.astype(np.int32))
+    pal_valid = jnp.asarray(state.palettes_valid)
 
-    # per-tile mirrored Bayer map (canonical-orientation dithering)
-    # natural map index (ym, xm): ym = 7-y if vmirror else y, etc.
-    # Per-tile initial mirrors are those recorded at load; the corpus keeps
-    # canonical tiles, whose mirror flags equal the flags of any instance.
+    # per-tile mirrored Bayer map (canonical-orientation dithering):
+    # the reference un-mirrors to natural orientation before dithering
     hm, vm = _corpus_initial_mirrors(state)
-    bay = np.broadcast_to(BAYER8, (T, 8, 8)).copy()
-    bay[hm] = bay[hm][:, :, ::-1]
-    bay[vm] = bay[vm][:, ::-1, :]
 
-    out = np.empty((T, 8, 8), np.uint8)
-    for i in range(0, T, chunk):
-        n = min(chunk, T - i)
-        tiles = state.corpus_rgb[i : i + n].reshape(n * 64, 3).astype(np.int32)
-        pidx = state.corpus_pal_initial[i : i + n]
-        prgb = np.repeat(pal_rgb_all[pidx], 64, axis=0)  # [n*64, S, 3]
-        pvalid = np.repeat(pal_valid_all[pidx], 64, axis=0)
-        mapv = bay[i : i + n].reshape(n * 64)
-        if settings.dithering_use_thomas_knoll:
-            lists = thomas_knoll_lists(
-                jnp.asarray(tiles), jnp.asarray(prgb), jnp.asarray(pvalid), S
-            )
-            sel = np.take_along_axis(np.asarray(lists), mapv[:, None], axis=1)[:, 0]
-        else:
-            lists, count = yliluoma2_lists(
-                jnp.asarray(tiles), jnp.asarray(prgb), jnp.asarray(pvalid), S,
-                settings.dithering_yliluoma2_mixed_colors,
-            )
-            rank = (mapv * np.asarray(count)) >> 6
-            sel = np.take_along_axis(np.asarray(lists), rank[:, None], axis=1)[:, 0]
-        out[i : i + n] = sel.reshape(n, 8, 8).astype(np.uint8)
+    chunk = min(chunk, max(1, T))
+    nch = -(-T // chunk)
+    Tp = nch * chunk
+    corpus = jnp.asarray(state.corpus_rgb)
+    if Tp != T:  # pad once to keep one compiled shape
+        corpus = jnp.pad(corpus, ((0, Tp - T), (0, 0), (0, 0), (0, 0)))
+    pidx = np.zeros(Tp, np.int32)
+    pidx[:T] = state.corpus_pal_initial
+    hmp = np.zeros(Tp, bool)
+    vmp = np.zeros(Tp, bool)
+    hmp[:T] = hm
+    vmp[:T] = vm
 
-    state.corpus_pal_pixels = out
+    outs = []
+    for i in range(0, Tp, chunk):
+        outs.append(_dither_chunk(
+            corpus[i : i + chunk], jnp.asarray(pidx[i : i + chunk]),
+            jnp.asarray(hmp[i : i + chunk]), jnp.asarray(vmp[i : i + chunk]),
+            pal_rgb, pal_valid,
+            S, settings.dithering_use_thomas_knoll,
+            settings.dithering_yliluoma2_mixed_colors,
+        ))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    state.corpus_pal_pixels = out[:T]  # device-resident
     return state
 
 

@@ -136,8 +136,17 @@ class Encoder:
 
     # --- checkpoint/resume --------------------------------------------------
     def save_checkpoint(self, path: str):
+        import dataclasses
+
+        import jax
+
+        st = self.state
+        for fld in dataclasses.fields(st):
+            v = getattr(st, fld.name)
+            if isinstance(v, jax.Array):
+                setattr(st, fld.name, np.asarray(v))
         with open(path, "wb") as f:
-            pickle.dump({"state": self.state, "settings": self.settings}, f)
+            pickle.dump({"state": st, "settings": self.settings}, f)
 
     @classmethod
     def load_checkpoint(cls, path: str, log=print) -> "Encoder":

@@ -44,7 +44,13 @@ def _load_chunk(frames):
 def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
          settings: EncoderSettings, chunk: int = 32,
          manual_keyframes: Optional[List[int]] = None) -> EncodeState:
-    """Populate load-stage state from raw frames [F, H, W, 3] uint8."""
+    """Populate load-stage state from raw frames [F, H, W, 3] uint8.
+
+    Large arrays (frames, canonical tiles) stay DEVICE-resident — the
+    host keeps only mirror flags, correlations and keyframe metadata
+    (host<->device bandwidth is the scarce resource; SURVEY.md maps the
+    reference's zlib in-RAM frame compression to HBM residency).
+    """
     frames_rgb = np.ascontiguousarray(frames_rgb)
     if frames_rgb.shape[1] % TILE_W or frames_rgb.shape[2] % TILE_W:
         frames_rgb = np.stack([pad_frame(f) for f in frames_rgb])
@@ -52,22 +58,21 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
     state.fps = float(fps)
     state.tilemap_h = H // TILE_W
     state.tilemap_w = W // TILE_W
-    state.frames_rgb = frames_rgb
+    state.frames_rgb = jnp.asarray(frames_rgb)  # one h2d; device-resident
     N = state.tilemap_size
 
-    tiles = np.empty((F, N, TILE_W, TILE_W, 3), np.uint8)
+    tiles_dev = []
     hm = np.empty((F, N), bool)
     vm = np.empty((F, N), bool)
     lab = np.empty((F, N * 3), np.float32)
     for i in range(0, F, chunk):
-        c = jnp.asarray(frames_rgb[i : i + chunk])
-        tc, h, v, ml = _load_chunk(c)
-        tiles[i : i + chunk] = np.asarray(tc)
+        tc, h, v, ml = _load_chunk(state.frames_rgb[i : i + chunk])
+        tiles_dev.append(tc)
         hm[i : i + chunk] = np.asarray(h)
         vm[i : i + chunk] = np.asarray(v)
         lab[i : i + chunk] = np.asarray(ml, np.float32).reshape(len(ml), -1)
 
-    state.tiles_canon = tiles
+    state.tiles_canon = tiles_dev[0] if len(tiles_dev) == 1 else jnp.concatenate(tiles_dev)
     tm = TileMapSoA.zeros(F, N)
     tm.hmirror = hm
     tm.vmirror = vm

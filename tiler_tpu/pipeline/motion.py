@@ -81,7 +81,17 @@ def tile_features_raster(tiles_rgb):
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
+def motion_search_batch(cur_rgb, prev_rgb, radius: int):
+    """Batched motion search over leading frame axis [B, H, W, 3]."""
+    return jax.vmap(lambda a, b: _motion_core(a, b, radius))(cur_rgb, prev_rgb)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
 def motion_search(cur_rgb, prev_rgb, radius: int):
+    return _motion_core(cur_rgb, prev_rgb, radius)
+
+
+def _motion_core(cur_rgb, prev_rgb, radius: int):
     """Full-frame motion search of cur against prev.
 
     cur_rgb/prev_rgb: [H, W, 3] float or uint8 (H, W multiples of 8).

@@ -20,6 +20,8 @@ relaxation (same fixed-point family, no permutation-order hacks).
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -35,15 +37,13 @@ RED_MUL, GREEN_MUL, BLUE_MUL, LUMA_DIV = 299, 587, 114, 1000
 
 def _corpus_features(state: EncodeState, settings: EncoderSettings, chunk=65536):
     """Per-tile dither-mode features in LAB (ComputeTilePsyVisFeatures with
-    DitheringMode + UseLAB, tilingencoder.pas:4160)."""
+    DitheringMode + UseLAB, tilingencoder.pas:4160). Device-resident."""
     T = len(state.corpus_rgb)
-    out = np.empty((T, 192), np.float32)
+    outs = []
     for i in range(0, T, chunk):
         tiles = jnp.asarray(state.corpus_rgb[i : i + chunk], jnp.float32)
-        out[i : i + chunk] = np.asarray(
-            dct.tile_features(tiles, mode=settings.dithering_mode, use_lab=True)
-        )
-    return out
+        outs.append(dct.tile_features(tiles, mode=settings.dithering_mode, use_lab=True))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
 def palettization(state: EncodeState, settings: EncoderSettings) -> EncodeState:
@@ -53,13 +53,13 @@ def palettization(state: EncodeState, settings: EncoderSettings) -> EncodeState:
     k1 = min(P * 8, T)  # BICO coreset size (tilingencoder.pas:4149)
 
     cents, assign1, _ = kmeans(
-        feats, k1, weights=state.corpus_use.astype(np.float32),
+        feats, k1, weights=jnp.asarray(state.corpus_use.astype(np.float32)),
         iters=settings.kmeans_iters, seed=settings.seed, init="sample",
     )
     k1 = int(cents.shape[0])
     if k1 > P and P > 1:
         _, assign2, _ = kmeans(
-            np.asarray(cents), P, iters=settings.kmeans_iters,
+            cents, P, iters=settings.kmeans_iters,
             seed=settings.seed + 1, init="kpp",
         )
         pal_of_c1 = np.asarray(assign2)
@@ -68,7 +68,7 @@ def palettization(state: EncodeState, settings: EncoderSettings) -> EncodeState:
     else:
         pal_of_c1 = np.arange(k1)
 
-    pal_initial = pal_of_c1[np.asarray(assign1)]  # [T]
+    pal_initial = pal_of_c1[np.asarray(assign1)]  # [T] (d2h: 4 bytes/tile)
 
     # sort palettes by (per-tile) use count desc (:4223-4244)
     use = np.bincount(pal_initial, minlength=P)
@@ -79,47 +79,48 @@ def palettization(state: EncodeState, settings: EncoderSettings) -> EncodeState:
     return state
 
 
-def _member_color_sets(state: EncodeState, P: int, cap: int):
-    """Per-palette unique member RGB colors + pixel counts, padded to cap."""
-    T = len(state.corpus_rgb)
-    pix = state.corpus_rgb.reshape(T, 64, 3).astype(np.int64)
-    pal = np.repeat(state.corpus_pal_initial.astype(np.int64), 64)
-    key = (pal << 24) | (pix[..., 0].reshape(-1) << 16) | (pix[..., 1].reshape(-1) << 8) | pix[..., 2].reshape(-1)
-    uniq, counts = np.unique(key, return_counts=True)
-    upal = (uniq >> 24).astype(np.int64)
-    ur = (uniq >> 16) & 0xFF
-    ug = (uniq >> 8) & 0xFF
-    ub = uniq & 0xFF
-    cols = np.zeros((P, cap, 3), np.float32)
-    wts = np.zeros((P, cap), np.float32)
-    npix = np.zeros(P, np.int64)
-    for p in range(P):
-        m = upal == p
-        n = int(m.sum())
-        npix[p] = counts[m].sum()
-        n = min(n, cap)
-        idx = np.flatnonzero(m)
-        if n < m.sum():  # keep the most frequent colors when over cap
-            idx = idx[np.argsort(-counts[m])[:n]]
-        cols[p, :n, 0] = ur[idx]
-        cols[p, :n, 1] = ug[idx]
-        cols[p, :n, 2] = ub[idx]
-        wts[p, :n] = counts[idx]
-    return cols, wts, npix
+@functools.partial(jax.jit, static_argnames=("P", "cap"))
+def _sample_member_pixels(corpus_rgb, pal_initial, P: int, cap: int, key):
+    """Per-palette uniform sample (without replacement) of member RGB
+    pixels, on device. Returns (cols [P,cap,3] f32, wts [P,cap] f32,
+    npix [P] i32).
+
+    The reference feeds EVERY member pixel to yakmo (:4458-4481); sampling
+    up to `cap` pixels per palette bounds the vmapped k-means shape with
+    negligible quality impact at cap>=2048.
+    """
+    T = corpus_rgb.shape[0]
+    M = T * 64
+    pix = corpus_rgb.reshape(M, 3).astype(jnp.float32)
+    pal = jnp.repeat(pal_initial.astype(jnp.int32), 64)
+    r = jax.random.uniform(key, (M,))
+    order = jnp.lexsort((r, pal))  # grouped by palette, random inside
+    spal = pal[order]
+    starts = jnp.searchsorted(spal, jnp.arange(P, dtype=jnp.int32))
+    ends = jnp.searchsorted(spal, jnp.arange(P, dtype=jnp.int32), side="right")
+    npix = (ends - starts).astype(jnp.int32)
+    idx = starts[:, None] + jnp.arange(cap)[None, :]
+    valid = jnp.arange(cap)[None, :] < jnp.minimum(npix, cap)[:, None]
+    cols = pix[order[jnp.clip(idx, 0, M - 1)]]
+    return cols, valid.astype(jnp.float32), npix
 
 
 def quantization(state: EncodeState, settings: EncoderSettings,
-                 color_cap: int = 4096) -> EncodeState:
+                 color_cap: int = 2048) -> EncodeState:
     P, S = settings.palette_count, settings.palette_size
-    cols, wts, npix = _member_color_sets(state, P, color_cap)
+    key = jax.random.PRNGKey(settings.seed)
+    cols, wts, npix_d = _sample_member_pixels(
+        jnp.asarray(state.corpus_rgb), jnp.asarray(state.corpus_pal_initial),
+        P, color_cap, key,
+    )
+    npix = np.asarray(npix_d).astype(np.int64)
 
     def one(colors, weights, seed):
         c, _, _ = _kmeans_small(colors, weights, S, settings.kmeans_iters, seed)
         return c
 
     seeds = jnp.arange(P) + settings.seed
-    cents = jax.vmap(one)(jnp.asarray(cols), jnp.asarray(wts), seeds)
-    cents = np.asarray(cents)  # [P, S, 3]
+    cents = np.asarray(jax.jit(jax.vmap(one))(cols, wts, seeds))  # [P, S, 3]
 
     rgb = np.clip(np.round(np.nan_to_num(cents)), 0, 255).astype(np.int64)
     rgb = posterize(rgb, 255)  # identity at 8bpc (cBitsPerComp, :4552)

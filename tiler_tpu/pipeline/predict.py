@@ -15,23 +15,31 @@ import numpy as np
 from ..config import EncoderSettings
 from ..models.state import EncodeState
 from ..ops.metrics import euclidean_to_psnr
-from .motion import motion_search
+from .motion import motion_search_batch
+
+
+def _frame_chunk(H: int, W: int, budget_bytes: float = 2e9) -> int:
+    """Frames per dispatch, bounded by the window-DCT field footprint."""
+    per_frame = H * W * 192 * 4 * 3  # field + phase view + err headroom
+    return max(1, int(budget_bytes / per_frame))
 
 
 def predict_motion(state: EncodeState, settings: EncoderSettings) -> EncodeState:
     R = settings.motion_predict_radius
     F = state.n_frames
-    if F == 0 or R <= 0:
+    if F == 0 or R <= 0 or F < 2:
         return state
     tm = state.tilemap
     N = state.tilemap_size
     frames = state.frames_rgb
-    for f in range(F):
-        ref = 1 if f == 0 else f - 1
-        if ref >= F:  # single-frame video: no prediction possible
-            continue
-        oy, ox, err = motion_search(jnp.asarray(frames[f]), jnp.asarray(frames[ref]), R)
-        tm.pred_y[f] = np.asarray(oy).reshape(N)
-        tm.pred_x[f] = np.asarray(ox).reshape(N)
-        tm.psnr[f] = np.asarray(euclidean_to_psnr(err)).reshape(N)
+    refs = np.concatenate([[1], np.arange(F - 1)])  # frame 0 predicts from 1
+    chunk = _frame_chunk(state.height, state.width)
+    for i in range(0, F, chunk):
+        j = min(F, i + chunk)
+        oy, ox, err = motion_search_batch(
+            jnp.asarray(frames[i:j]), jnp.asarray(frames[refs[i:j]]), R
+        )
+        tm.pred_y[i:j] = np.asarray(oy).reshape(j - i, N)
+        tm.pred_x[i:j] = np.asarray(ox).reshape(j - i, N)
+        tm.psnr[i:j] = np.asarray(euclidean_to_psnr(err)).reshape(j - i, N)
     return state

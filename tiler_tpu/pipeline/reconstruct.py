@@ -8,12 +8,14 @@ lower error (ties favor prediction), draw the winner, accumulate PSNR.
 
 TPU-native split:
   Phase A (parallel across ALL frames): the KNN half does not depend on
-    reconstruction, so every frame's candidates are batched matmuls
-    against the corpus dataset (chunked over the corpus; exact brute
-    force replaces the approximate kd-tree).
-  Phase B (sequential scan over frames): only the motion re-search needs
-    the previous reconstruction. Winner selection, framebuffer rendering
-    and PSNR accumulation ride along.
+    reconstruction, so frames are batched in groups and candidates come
+    from chunked distance matmuls against the corpus (exact brute force
+    replaces the approximate kd-tree); the EPU re-rank is a lax.scan over
+    cell chunks — one device dispatch per frame group.
+  Phase B (sequential): only the motion re-search needs the previous
+    reconstruction. The whole frame loop is ONE lax.scan on device with
+    the framebuffer as carry — selection, rendering and PSNR ride along
+    (the axon dispatch latency makes per-frame host loops untenable).
 
 EPU parity (:1563-1609): candidates = top-k corpus tiles; the candidate
 palette set = their initial palettes; the cartesian product is evaluated
@@ -24,11 +26,10 @@ Decision parity (:1614-1654): prediction is "perfect" when
 mpErr <= 192 (skip KNN); otherwise KNN wins only when
 knnErr < mpErr - 192 (CompareValue with cTileDCTSize tolerance).
 
-Deviation: errors are float32 of exactly-computed distances (the
-reference uses int16-quantized features); and predicted cells do not
-retain their KNN tile_idx (the reference lets Reindex count never-emitted
-tiles into the TileSet, tilingencoder.pas:2012-2030 — dropping them only
-shrinks the stream).
+Deviations: float32 exact distances instead of int16-quantized features;
+predicted cells do not retain their KNN tile_idx (the reference lets
+Reindex count never-emitted tiles into the TileSet, :2012-2030 — dropping
+them only shrinks the stream).
 """
 from __future__ import annotations
 
@@ -44,35 +45,36 @@ from ..models.state import EncodeState
 from ..ops.color import rgb_to_yuv
 from ..ops.dct import DCT_MAT, DCT_WEIGHTS
 from ..ops.metrics import euclidean_to_psnr
-from .motion import motion_search, tile_features_raster
+from .motion import _motion_core, tile_features_raster
 
 TILE_W = 8
 K = 192
 TOL = 192.0  # cTileDCTSize comparison tolerance (tilingencoder.pas:1535,1614)
 
 
-def _render_corpus(state: EncodeState) -> np.ndarray:
+@jax.jit
+def _render_corpus_dev(palettes_rgb, pal_initial, pal_pixels):
     """Corpus tiles through their own palettes -> RGB uint8 [T, 8, 8, 3]
-    (PrepareReconstruct DoPsyV, tilingencoder.pas:4577-4597)."""
-    pal = state.palettes_rgb  # [P, S, 3]
-    return pal[state.corpus_pal_initial[:, None, None], state.corpus_pal_pixels]
+    (PrepareReconstruct DoPsyV, tilingencoder.pas:4577-4597). On device."""
+    return palettes_rgb[pal_initial[:, None, None], pal_pixels]
 
 
-def _indicator_dcts(pal_pixels: np.ndarray, S: int, chunk: int = 8192) -> np.ndarray:
-    """G[t, vu, s] = DCT2D(indicator(pal_pixels == s)) — the linear map from
-    palette YUV colors to the tile's DCT features. [T, 64, S] float32."""
-    T = len(pal_pixels)
+@functools.partial(jax.jit, static_argnames=("S",))
+def _indicator_dcts_chunk(pp, S: int):
     D = jnp.asarray(DCT_MAT, jnp.float32)
+    oh = jax.nn.one_hot(pp, S, dtype=jnp.float32)  # [B, 8, 8, S]
+    return jnp.einsum("vy,byxs,ux->bvus", D, oh, D, precision="highest").reshape(-1, 64, S)
 
-    @jax.jit
-    def go(pp):
-        oh = jax.nn.one_hot(pp, S, dtype=jnp.float32)  # [B, 8, 8, S]
-        return jnp.einsum("vy,byxs,ux->bvus", D, oh, D, precision="highest").reshape(-1, 64, S)
 
-    out = np.empty((T, 64, S), np.float32)
+def _indicator_dcts(pal_pixels, S: int, chunk: int = 16384):
+    """G[t, vu, s] = DCT2D(indicator(pal_pixels == s)) — the linear map from
+    palette YUV colors to the tile's DCT features. [T, 64, S] float32,
+    device-resident."""
+    T = len(pal_pixels)
+    outs = []
     for i in range(0, T, chunk):
-        out[i : i + chunk] = np.asarray(go(jnp.asarray(pal_pixels[i : i + chunk])))
-    return out
+        outs.append(_indicator_dcts_chunk(jnp.asarray(pal_pixels[i : i + chunk]), S))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
@@ -105,41 +107,54 @@ def _topk_candidates(feats, ds, k: int, chunk: int):
     return idx, err
 
 
-@functools.partial(jax.jit, static_argnames=("S",))
-def _epu_rank(feats, cand_idx, cand_pal, G, pal_yuv, S: int):
-    """Exact cartesian re-rank (EPU). feats [B,192]; cand_idx [B,kk] sorted
-    ascending tile idx; cand_pal [B,kk] sorted ascending palette idx;
-    G [T,64,S]; pal_yuv [P,S,3]. Returns (tile, pal, err) per cell."""
+@functools.partial(jax.jit, static_argnames=("S", "cell_chunk"))
+def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int):
+    """Exact cartesian re-rank over all cells via a scan over cell chunks.
+
+    feats [B, 192]; cand_idx/cand_pal [B, kk] sorted ascending; G [T,64,S];
+    pal_yuv [P, S, 3]. Returns (tile [B], pal [B], err [B])."""
     B, kk = cand_idx.shape
-    w = jnp.asarray(DCT_WEIGHTS, jnp.float32)  # [c, v, u]
+    w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
     wf = w.transpose(1, 2, 0).reshape(64, 3)  # [vu, c]
-    Gi = G[cand_idx]  # [B, kk, 64, S]
-    Py = pal_yuv[cand_pal]  # [B, kk, S, 3]
-    # rendered features[b, i, j, vu, c] = sum_s Gi[b,i,vu,s] Py[b,j,s,c] * w
-    rf = jnp.einsum("bivs,bjsc->bijvc", Gi, Py)
-    rf = rf * wf[None, None, None]
-    # feats layout from tile_features_raster is channel-major [c*64 + vu]
-    ft = feats.reshape(B, 3, 64).transpose(0, 2, 1)[:, None, None]  # [B,1,1,vu,c]
-    d = rf - ft
-    err = jnp.sum(d * d, axis=(-2, -1))  # [B, kk, kk]
-    flat = err.reshape(B, kk * kk)
-    best = jnp.argmin(flat, axis=1)
-    bi, bj = best // kk, best % kk
-    return (
-        jnp.take_along_axis(cand_idx, bi[:, None], 1)[:, 0],
-        jnp.take_along_axis(cand_pal, bj[:, None], 1)[:, 0],
-        jnp.take_along_axis(flat, best[:, None], 1)[:, 0],
-    )
+    nch = -(-B // cell_chunk)
+    Bp = nch * cell_chunk
+    featsp = jnp.pad(feats, ((0, Bp - B), (0, 0)))
+    cip = jnp.pad(cand_idx, ((0, Bp - B), (0, 0)))
+    cpp = jnp.pad(cand_pal, ((0, Bp - B), (0, 0)))
+
+    def body(_, i):
+        f = jax.lax.dynamic_slice(featsp, (i * cell_chunk, 0), (cell_chunk, K))
+        ci = jax.lax.dynamic_slice(cip, (i * cell_chunk, 0), (cell_chunk, kk))
+        cp = jax.lax.dynamic_slice(cpp, (i * cell_chunk, 0), (cell_chunk, kk))
+        Gi = G[ci]  # [b, kk, 64, S]
+        Py = pal_yuv[cp]  # [b, kk, S, 3]
+        rf = jnp.einsum("bivs,bjsc->bijvc", Gi, Py) * wf[None, None, None]
+        ft = f.reshape(-1, 3, 64).transpose(0, 2, 1)[:, None, None]
+        d = rf - ft
+        err = jnp.sum(d * d, axis=(-2, -1)).reshape(cell_chunk, kk * kk)
+        best = jnp.argmin(err, axis=1)
+        bi, bj = best // kk, best % kk
+        return None, (
+            jnp.take_along_axis(ci, bi[:, None], 1)[:, 0],
+            jnp.take_along_axis(cp, bj[:, None], 1)[:, 0],
+            jnp.take_along_axis(err, best[:, None], 1)[:, 0],
+        )
+
+    _, (t, p, e) = jax.lax.scan(body, None, jnp.arange(nch))
+    return t.reshape(Bp)[:B], p.reshape(Bp)[:B], e.reshape(Bp)[:B]
 
 
-def _knn_phase(state: EncodeState, settings: EncoderSettings,
-               cell_chunk: int = 512) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _knn_phase(state: EncodeState, settings: EncoderSettings
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Phase A: per-cell best (tile, palette, err) over all frames."""
     F, N = state.n_frames, state.tilemap_size
-    rendered = _render_corpus(state).astype(np.float32)
-    ds = np.asarray(tile_features_raster(jnp.asarray(rendered)))  # [T, 192]
-    dsj = jnp.asarray(ds)
-    T = len(ds)
+    rendered = _render_corpus_dev(
+        jnp.asarray(state.palettes_rgb),
+        jnp.asarray(state.corpus_pal_initial.astype(np.int32)),
+        jnp.asarray(state.corpus_pal_pixels),
+    )
+    dsj = tile_features_raster(rendered.astype(jnp.float32))  # [T, 192] device
+    T = int(dsj.shape[0])
     epu = settings.frame_tiling_extended_palette_usage
     kk = min(settings.epu_knn_k, T) if epu else 1
 
@@ -148,55 +163,99 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings,
     best_pal = np.empty((F, N), np.int32)
     best_err = np.empty((F, N), np.float32)
 
-    G = None
-    pal_yuv = None
     if epu:
         G = jnp.asarray(_indicator_dcts(state.corpus_pal_pixels, settings.palette_size))
         pal_yuv = jnp.asarray(
             np.asarray(rgb_to_yuv(jnp.asarray(state.palettes_rgb, jnp.float32)))
         )
 
-    for f in range(F):
-        tiles = jnp.asarray(state.tiles_canon[f], jnp.float32)  # canonical
-        feats = tile_features_raster(tiles.reshape(N, 8, 8, 3))
-        idx, err = _topk_candidates(feats, dsj, kk, min(settings.corpus_chunk, max(256, T)))
+    # frame group size bounded by feats + topk footprint
+    group = max(1, int(4e8 / (N * (192 * 4 + kk * kk * 4))))
+    corpus_chunk = min(settings.corpus_chunk, max(256, T))
+    for f0 in range(0, F, group):
+        f1 = min(F, f0 + group)
+        tiles = jnp.asarray(state.tiles_canon[f0:f1], jnp.float32)
+        feats = tile_features_raster(tiles.reshape(-1, 8, 8, 3))
+        idx, err = _topk_candidates(feats, dsj, kk, corpus_chunk)
         if not epu:
-            # exact recompute of the single winner's error
             d = feats - dsj[idx[:, 0]]
             exact = jnp.sum(d * d, axis=1)
-            best_tile[f] = np.asarray(idx[:, 0])
-            best_pal[f] = np.asarray(pal_initial[idx[:, 0]])
-            best_err[f] = np.asarray(exact)
+            best_tile[f0:f1] = np.asarray(idx[:, 0]).reshape(f1 - f0, N)
+            best_pal[f0:f1] = np.asarray(pal_initial[idx[:, 0]]).reshape(f1 - f0, N)
+            best_err[f0:f1] = np.asarray(exact).reshape(f1 - f0, N)
         else:
             cand_idx = jnp.sort(idx, axis=1)
             cand_pal = jnp.sort(pal_initial[idx], axis=1)
-            for c0 in range(0, N, cell_chunk):
-                c1 = min(N, c0 + cell_chunk)
-                t, p, e = _epu_rank(
-                    feats[c0:c1], cand_idx[c0:c1], cand_pal[c0:c1],
-                    G, pal_yuv, settings.palette_size,
-                )
-                best_tile[f, c0:c1] = np.asarray(t)
-                best_pal[f, c0:c1] = np.asarray(p)
-                best_err[f, c0:c1] = np.asarray(e)
+            t, p, e = _epu_rank_all(
+                feats, cand_idx, cand_pal, G, pal_yuv, settings.palette_size,
+                cell_chunk=256,
+            )
+            best_tile[f0:f1] = np.asarray(t).reshape(f1 - f0, N)
+            best_pal[f0:f1] = np.asarray(p).reshape(f1 - f0, N)
+            best_err[f0:f1] = np.asarray(e).reshape(f1 - f0, N)
     return best_tile, best_pal, best_err
 
 
-@functools.partial(jax.jit, static_argnames=("th", "tw"))
-def _render_frame(back, knn_rgb, pred_y, pred_x, use_pred, th: int, tw: int):
-    """Compose the front buffer: predicted cells copy from `back` at their
-    offsets, others take the pre-rendered knn tile."""
+@functools.partial(jax.jit, static_argnames=("radius", "th", "tw"))
+def _phase_b_scan(frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start,
+                  pp, palettes, radius: int, th: int, tw: int):
+    """Sequential selection/render scan over frames, carry = back buffer.
+
+    frames_u8 [F,H,W,3] uint8; knn_* [F,N]; hm/vm [F,N] bool;
+    kf_start [F] bool; pp [T,8,8] uint8; palettes [P,S,3] uint8.
+    Returns per-frame (oy, ox [F,N] i32, use_pred [F,N] bool, err [F,N]).
+    """
     H, W = th * TILE_W, tw * TILE_W
-    # gather predicted windows
-    ys = (jnp.arange(th) * TILE_W)[:, None] + pred_y.reshape(th, tw)
-    xs = (jnp.arange(tw) * TILE_W)[None, :] + pred_x.reshape(th, tw)
-    oy = ys[:, :, None, None] + jnp.arange(TILE_W)[None, None, :, None]
-    ox = xs[:, :, None, None] + jnp.arange(TILE_W)[None, None, None, :]
-    pred_tiles = back[oy, ox]  # [th, tw, 8, 8, 3]
-    chosen = jnp.where(
-        use_pred.reshape(th, tw, 1, 1, 1), pred_tiles, knn_rgb.reshape(th, tw, TILE_W, TILE_W, 3)
+    N = th * tw
+
+    def step(back, xs):
+        frame, ktile, kpal, kerr, hmf, vmf, kstart = xs
+        cur = frame.astype(jnp.float32)
+        if radius >= 1:
+            def do_search(_):
+                oy, ox, e = _motion_core(cur, back, radius)
+                return oy.reshape(N), ox.reshape(N), e.reshape(N)
+
+            def no_search(_):
+                return (
+                    jnp.zeros(N, jnp.int32),
+                    jnp.zeros(N, jnp.int32),
+                    jnp.full(N, jnp.inf, jnp.float32),
+                )
+
+            oy, ox, mperr = jax.lax.cond(kstart, no_search, do_search, None)
+        else:
+            oy = jnp.zeros(N, jnp.int32)
+            ox = jnp.zeros(N, jnp.int32)
+            mperr = jnp.full(N, jnp.inf, jnp.float32)
+
+        perfect = mperr <= TOL
+        knn_wins = (~perfect) & (kerr < mperr - TOL)
+        use_pred = ~knn_wins
+        cell_err = jnp.where(use_pred, mperr, kerr)
+
+        # render knn choices: palette lookup + cell mirrors
+        tile_px = pp[ktile]  # [N, 8, 8]
+        rgb = palettes[kpal[:, None, None], tile_px].astype(jnp.float32)  # [N,8,8,3]
+        rgb = jnp.where(hmf[:, None, None, None], rgb[:, :, ::-1], rgb)
+        rgb = jnp.where(vmf[:, None, None, None], rgb[:, ::-1, :], rgb)
+
+        ys = (jnp.arange(th) * TILE_W)[:, None] + oy.reshape(th, tw)
+        xs_ = (jnp.arange(tw) * TILE_W)[None, :] + ox.reshape(th, tw)
+        wy = ys[:, :, None, None] + jnp.arange(TILE_W)[None, None, :, None]
+        wx = xs_[:, :, None, None] + jnp.arange(TILE_W)[None, None, None, :]
+        pred_tiles = back[wy, wx]
+        chosen = jnp.where(
+            use_pred.reshape(th, tw, 1, 1, 1), pred_tiles, rgb.reshape(th, tw, 8, 8, 3)
+        )
+        front = chosen.transpose(0, 2, 1, 3, 4).reshape(H, W, 3)
+        return front, (oy, ox, use_pred, cell_err)
+
+    back0 = jnp.zeros((H, W, 3), jnp.float32)
+    _, outs = jax.lax.scan(
+        step, back0, (frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start)
     )
-    return chosen.transpose(0, 2, 1, 3, 4).reshape(H, W, 3)
+    return outs
 
 
 def reconstruct(state: EncodeState, settings: EncoderSettings) -> EncodeState:
@@ -207,57 +266,36 @@ def reconstruct(state: EncodeState, settings: EncoderSettings) -> EncodeState:
 
     knn_tile, knn_pal, knn_err = _knn_phase(state, settings)
 
-    # pre-render every cell's knn choice (palette + mirrors applied)
-    pal = state.palettes_rgb  # [P, S, 3]
-    pp = state.corpus_pal_pixels
-
     kf_start = np.zeros(F, bool)
     for kf in state.keyframes:
         kf_start[kf.start_frame] = True
 
+    oy, ox, use_pred, cell_err = _phase_b_scan(
+        jnp.asarray(state.frames_rgb),
+        jnp.asarray(knn_tile),
+        jnp.asarray(knn_pal),
+        jnp.asarray(knn_err),
+        jnp.asarray(tm.hmirror),
+        jnp.asarray(tm.vmirror),
+        jnp.asarray(kf_start),
+        jnp.asarray(state.corpus_pal_pixels),
+        jnp.asarray(state.palettes_rgb),
+        R, th, tw,
+    )
+    oy = np.asarray(oy)
+    ox = np.asarray(ox)
+    use_pred = np.asarray(use_pred)
+    cell_err = np.asarray(cell_err)
+
+    tm.predicted = use_pred
+    tm.pred_y = oy.astype(np.int16)
+    tm.pred_x = ox.astype(np.int16)
+    tm.tile_idx = np.where(~use_pred, knn_tile.astype(np.int64), -1)
+    tm.pal_idx = np.where(~use_pred, knn_pal, -1)
+    tm.psnr = np.asarray(euclidean_to_psnr(jnp.asarray(cell_err)))
+
     kf_psnr_accum = np.zeros(len(state.keyframes), np.float64)
-    back = jnp.zeros((state.height, state.width, 3), jnp.float32)
-
-    for f in range(F):
-        do_mp = (not kf_start[f]) and R >= 1
-        if do_mp:
-            oy, ox, mperr = motion_search(
-                jnp.asarray(state.frames_rgb[f], jnp.float32), back, R
-            )
-            oy = np.asarray(oy).reshape(N)
-            ox = np.asarray(ox).reshape(N)
-            mperr = np.asarray(mperr).reshape(N)
-        else:
-            oy = np.zeros(N, np.int32)
-            ox = np.zeros(N, np.int32)
-            mperr = np.full(N, np.inf, np.float32)
-
-        kerr = knn_err[f]
-        perfect = mperr <= TOL
-        knn_wins = (~perfect) & (kerr < mperr - TOL)
-        use_pred = ~knn_wins
-
-        tm.predicted[f] = use_pred
-        tm.pred_y[f] = oy
-        tm.pred_x[f] = ox
-        tm.tile_idx[f] = np.where(knn_wins, knn_tile[f].astype(np.int64), -1)
-        tm.pal_idx[f] = np.where(knn_wins, knn_pal[f], -1)
-        cell_err = np.where(use_pred, mperr, kerr)
-        tm.psnr[f] = np.asarray(euclidean_to_psnr(jnp.asarray(cell_err)))
-        kf_psnr_accum[state.frame_kf[f]] += float(tm.psnr[f].sum())
-
-        # render front buffer
-        knn_rgb = pal[knn_pal[f][:, None, None], pp[knn_tile[f]]].astype(np.float32)
-        hmv = tm.hmirror[f][:, None, None, None]
-        vmv = tm.vmirror[f][:, None, None, None]
-        knn_rgb = np.where(hmv, knn_rgb[:, :, ::-1], knn_rgb)
-        knn_rgb = np.where(vmv, knn_rgb[:, ::-1, :], knn_rgb)
-        front = _render_frame(
-            back, jnp.asarray(knn_rgb), jnp.asarray(oy), jnp.asarray(ox),
-            jnp.asarray(use_pred), th, tw,
-        )
-        back = front
-
+    np.add.at(kf_psnr_accum, state.frame_kf, tm.psnr.sum(axis=1))
     state.kf_psnr = np.array(
         [kf_psnr_accum[k.index] / (N * k.frame_count) for k in state.keyframes]
     )

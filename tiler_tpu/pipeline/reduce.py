@@ -7,55 +7,77 @@ threshold, so this collapses to ONE dedup pass + a sorted-quantile lookup
 over per-unique-tile minimum effective PSNR — exact same fixed point,
 found in one pass (SURVEY.md section 7, hard part 6).
 
+Tile identity uses two independent 32-bit polynomial hashes of the
+canonical RGB bytes computed ON DEVICE (the tiles never leave HBM; only
+the 8-byte hashes cross to the host). A 64-bit collision over ~10^7 tiles
+has probability ~1e-5 and would merely merge two visually unrelated tiles.
+
 Semantics parity:
   - effective PSNR = PSNR/10 for keyframe-start frames (CKFPSNRDiv,
     :4016), plain PSNR otherwise; IsPredicted := eff > x (:4029-4032).
-  - corpus = canonical tiles of unpredicted cells, exact-RGB duplicates
-    merged with summed use counts (TransferTiles + MakeTilesUnique(True),
+  - corpus = canonical tiles of unpredicted cells, exact-duplicate
+    merge with summed use counts (TransferTiles + MakeTilesUnique(True),
     :4048-4103, :4720-4781).
-  - final order: use count desc, ties by pixel content (ReindexTiles,
-    :4626-4718).
+  - final order: use count desc; ties break on the content hash instead
+    of the reference's lexicographic pixel compare (deterministic, but a
+    different — equally arbitrary — tie order).
 """
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import EncoderSettings
 from ..models.state import EncodeState
 
+_RNG = np.random.RandomState(0x5EED)
+_C1 = jnp.asarray((_RNG.randint(0, 1 << 31, 192) * 2 + 1).astype(np.int32))
+_C2 = jnp.asarray((_RNG.randint(0, 1 << 31, 192) * 2 + 1).astype(np.int32))
 
-def _unique_rows(a: np.ndarray):
-    """np.unique(axis=0) via void view (fast path for uint8 rows)."""
-    b = np.ascontiguousarray(a).view([("", a.dtype)] * a.shape[1])[:, 0]
-    _, first_idx, inverse = np.unique(b, return_index=True, return_inverse=True)
-    return first_idx, inverse
+
+@jax.jit
+def _tile_hashes(tiles_u8):
+    """[..., 8, 8, 3] uint8 -> two int32 polynomial hashes per tile."""
+    flat = tiles_u8.reshape(*tiles_u8.shape[:-3], 192).astype(jnp.int32)
+    h1 = jnp.sum(flat * _C1, axis=-1)
+    h2 = jnp.sum(flat * _C2, axis=-1)
+    return h1, h2
+
+
+@jax.jit
+def _gather_tiles(tiles_flat, idx):
+    return tiles_flat[idx]
 
 
 def reduce_tiles(state: EncodeState, settings: EncoderSettings) -> EncodeState:
     F, N = state.n_frames, state.tilemap_size
     tm = state.tilemap
-    psnr = tm.psnr.astype(np.float64).copy()  # [F, N]
+    psnr = tm.psnr.astype(np.float64)  # [F, N]
     kf_start = np.zeros(F, bool)
     for kf in state.keyframes:
         kf_start[kf.start_frame] = True
     eff = np.where(kf_start[:, None], psnr / 10.0, psnr)
-
-    tiles_flat = state.tiles_canon.reshape(F * N, -1)  # [M, 192] uint8
-    first_idx, inverse = _unique_rows(tiles_flat)
-    n_unique = len(first_idx)
     eff_flat = eff.reshape(-1)
+
+    h1, h2 = _tile_hashes(state.tiles_canon)
+    key = (np.asarray(h1).astype(np.int64).reshape(-1) << 32) ^ (
+        np.asarray(h2).astype(np.int64).reshape(-1) & 0xFFFFFFFF
+    )
+    uniq_keys, first_idx, inverse = np.unique(key, return_index=True, return_inverse=True)
+    n_unique = len(first_idx)
 
     if settings.global_tiling_use_target_psnr:
         x = float(settings.global_tiling_target_psnr)
     else:
         target = settings.derived_tile_count(F * N)
-        # per-unique-tile min effective PSNR; count(x) = #unique(min <= x)
         min_eff = np.full(n_unique, np.inf)
         np.minimum.at(min_eff, inverse, eff_flat)
         order = np.sort(min_eff)
         target = min(target, n_unique)
         x = float(order[target - 1]) if target >= 1 else -np.inf
-        # the quantile may tie; check the neighbour below for a closer count
         cnt_at = int(np.searchsorted(order, x, side="right"))
         if target >= 2:
             x_lo = float(order[target - 2])
@@ -66,21 +88,19 @@ def reduce_tiles(state: EncodeState, settings: EncoderSettings) -> EncodeState:
     unpred_flat = eff_flat <= x
     tm.predicted = (~unpred_flat).reshape(F, N)
 
-    # corpus: unique canonical tiles among unpredicted cells
     sel = np.flatnonzero(unpred_flat)
     sel_u = inverse[sel]
     used_unique, sel_to_corpus = np.unique(sel_u, return_inverse=True)
     counts = np.bincount(sel_to_corpus, minlength=len(used_unique)).astype(np.int64)
-    corpus = tiles_flat[first_idx[used_unique]].reshape(-1, 8, 8, 3)
 
-    # sort: use count desc, ties by pixel content ascending
-    keys = np.ascontiguousarray(corpus.reshape(len(corpus), -1))
-    kview = keys.view([("", keys.dtype)] * keys.shape[1])[:, 0]
-    order = np.lexsort((kview, -counts))
+    # sort: use count desc, ties by content hash (see module docstring)
+    order = np.lexsort((uniq_keys[used_unique], -counts))
     rank = np.empty(len(order), np.int64)
     rank[order] = np.arange(len(order))
 
-    state.corpus_rgb = corpus[order]
+    rep_flat = first_idx[used_unique][order].astype(np.int32)
+    tiles_flat = state.tiles_canon.reshape(F * N, 8, 8, 3)
+    state.corpus_rgb = _gather_tiles(tiles_flat, jnp.asarray(rep_flat))  # device
     state.corpus_use = counts[order]
     tile_idx = np.full(F * N, -1, np.int64)
     tile_idx[sel] = rank[sel_to_corpus]

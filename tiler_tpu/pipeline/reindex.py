@@ -12,7 +12,7 @@ from ..models.state import EncodeState
 
 def reindex(state: EncodeState, settings: EncoderSettings) -> EncodeState:
     tm = state.tilemap
-    pp = state.corpus_pal_pixels  # [T, 8, 8]
+    pp = np.asarray(state.corpus_pal_pixels)  # [T, 8, 8]; one d2h
     T = len(pp)
 
     # dedup on palette pixels (MakeTilesUnique(False))
@@ -48,12 +48,14 @@ def reindex(state: EncodeState, settings: EncoderSettings) -> EncodeState:
     new_tid[emitted] = final_of_unique[uidx]
     tm.tile_idx = new_tid.reshape(tm.tile_idx.shape)
 
-    state.corpus_pal_pixels = kpp[order]
+    state.corpus_pal_pixels = kpp[order]  # host (the writer consumes it)
     state.corpus_use = kcounts[order]
-    # keep rgb/pal_initial aligned for rendering/debug views
+    # keep rgb/pal_initial aligned for rendering/debug views (device gather)
+    import jax.numpy as jnp
+
     sel = first_idx[kept][order]
     if state.corpus_rgb is not None:
-        state.corpus_rgb = state.corpus_rgb[sel]
+        state.corpus_rgb = jnp.asarray(state.corpus_rgb)[jnp.asarray(sel.astype(np.int32))]
     if state.corpus_pal_initial is not None:
-        state.corpus_pal_initial = state.corpus_pal_initial[sel]
+        state.corpus_pal_initial = np.asarray(state.corpus_pal_initial)[sel]
     return state
