@@ -1,0 +1,699 @@
+// LZMA1 codec (encoder + decoder) for GTM keyframe streams.
+//
+// Implements the documented LZMA algorithm (range coder, bit-tree
+// contexts, rep distances) from the public specification — NOT a port of
+// the reference's Pascal LZMA SDK units. Raison d'etre: the reference
+// encoder emits lc=8 streams (extern.pas:427 SetLcLpPb(8,0,2)); liblzma
+// caps lc<=4, so matching the reference's compression ratio (and decoding
+// its demo streams at native speed) needs our own codec.
+//
+// Container (what decoders/htmljs/lzma.js:397-428 parses):
+//   props byte ((pb*5+lp)*9+lc) + dict size (4B LE) + 8x0xFF + data,
+//   EOS-terminated (distance 0xFFFFFFFF marker).
+//
+// Encoder: hash-4 chain match finder with lazy matching and rep-distance
+// checks; greedy price heuristics (not the full optimal parse — planned).
+//
+// C ABI for ctypes:
+//   gtm_lzma_compress(in, in_len, out, out_cap, lc, lp, pb, dict, depth)
+//   gtm_lzma_decompress(in, in_len, out, out_cap, &consumed, max_out)
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+namespace {
+
+using u8 = uint8_t;
+using u16 = uint16_t;
+using u32 = uint32_t;
+using u64 = uint64_t;
+
+constexpr u32 kTop = 1u << 24;
+constexpr int kNumMoveBits = 5;
+constexpr u16 kInitProb = 1024;
+constexpr int kNumStates = 12;
+constexpr u32 kMinLen = 2;
+constexpr u32 kMaxLen = 273;
+
+// ---------------------------------------------------------------------------
+// Range encoder
+// ---------------------------------------------------------------------------
+struct RangeEncoder {
+  std::vector<u8>* out;
+  u64 low = 0;
+  u32 range = 0xFFFFFFFFu;
+  u8 cache = 0;
+  u64 cache_size = 1;
+
+  void shift_low() {
+    if ((u32)low < 0xFF000000u || (low >> 32) != 0) {
+      u8 carry = (u8)(low >> 32);
+      u8 temp = cache;
+      do {
+        out->push_back((u8)(temp + carry));
+        temp = 0xFF;
+      } while (--cache_size);
+      cache = (u8)(low >> 24);
+    }
+    cache_size++;
+    low = (u64)((u32)low << 8);  // truncate to 32 bits BEFORE the shift:
+    // bits 31..24 are already in `cache`
+  }
+
+  void encode_bit(u16* probs, int idx, int bit) {
+    u16 p = probs[idx];
+    u32 bound = (range >> 11) * p;
+    if (!bit) {
+      range = bound;
+      probs[idx] = (u16)(p + ((2048 - p) >> kNumMoveBits));
+    } else {
+      low += bound;
+      range -= bound;
+      probs[idx] = (u16)(p - (p >> kNumMoveBits));
+    }
+    if (range < kTop) {
+      range <<= 8;
+      shift_low();
+    }
+  }
+
+  void encode_direct(u32 v, int nbits) {
+    for (int i = nbits - 1; i >= 0; i--) {
+      range >>= 1;
+      if ((v >> i) & 1) low += range;
+      if (range < kTop) {
+        range <<= 8;
+        shift_low();
+      }
+    }
+  }
+
+  void bittree(u16* probs, int nbits, u32 sym) {
+    u32 m = 1;
+    for (int i = nbits - 1; i >= 0; i--) {
+      int b = (sym >> i) & 1;
+      encode_bit(probs, m, b);
+      m = (m << 1) | b;
+    }
+  }
+
+  void bittree_rev(u16* probs, int nbits, u32 sym) {
+    u32 m = 1;
+    for (int i = 0; i < nbits; i++) {
+      int b = sym & 1;
+      sym >>= 1;
+      encode_bit(probs, m, b);
+      m = (m << 1) | b;
+    }
+  }
+
+  void flush() {
+    for (int i = 0; i < 5; i++) shift_low();
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Length coder (choice + low/mid 3-bit trees per pos state + high 8-bit)
+// ---------------------------------------------------------------------------
+struct LenCoder {
+  u16 choice[2];
+  u16 low[16 << 3];
+  u16 mid[16 << 3];
+  u16 high[256];
+
+  void init() {
+    choice[0] = choice[1] = kInitProb;
+    for (auto& p : low) p = kInitProb;
+    for (auto& p : mid) p = kInitProb;
+    for (auto& p : high) p = kInitProb;
+  }
+
+  void encode(RangeEncoder& rc, u32 len, u32 pos_state) {
+    u32 l = len - kMinLen;
+    if (l < 8) {
+      rc.encode_bit(choice, 0, 0);
+      rc.bittree(low + (pos_state << 3), 3, l);
+    } else if (l < 16) {
+      rc.encode_bit(choice, 0, 1);
+      rc.encode_bit(choice, 1, 0);
+      rc.bittree(mid + (pos_state << 3), 3, l - 8);
+    } else {
+      rc.encode_bit(choice, 0, 1);
+      rc.encode_bit(choice, 1, 1);
+      rc.bittree(high, 8, l - 16);
+    }
+  }
+};
+
+inline int len_state(u32 len) {
+  u32 l = len - kMinLen;
+  return l < 3 ? (int)l : 3;
+}
+
+inline int pos_slot_of(u32 dist) {
+  if (dist < 4) return (int)dist;
+  int nb = 31 - __builtin_clz(dist);
+  return (nb << 1) | ((dist >> (nb - 1)) & 1);
+}
+
+// ---------------------------------------------------------------------------
+// Encoder
+// ---------------------------------------------------------------------------
+struct Encoder {
+  int lc, lp, pb;
+  u32 pb_mask, lp_mask;
+  int depth;
+
+  std::vector<u16> lit;  // 0x300 << (lc+lp)
+  u16 is_match[kNumStates << 4];
+  u16 is_rep[kNumStates];
+  u16 is_rep_g0[kNumStates];
+  u16 is_rep_g1[kNumStates];
+  u16 is_rep_g2[kNumStates];
+  u16 is_rep0_long[kNumStates << 4];
+  u16 pos_slot[4 << 6];
+  u16 spec_pos[115];
+  u16 align_p[16];
+  LenCoder len_c, rep_len_c;
+
+  int state = 0;
+  u32 reps[4] = {0, 0, 0, 0};
+
+  // hash-4 chain match finder
+  static constexpr int kHashBits = 17;
+  std::vector<int32_t> head;   // hash -> last pos
+  std::vector<int32_t> prevp;  // pos -> previous pos with same hash
+
+  Encoder(int lc_, int lp_, int pb_, int depth_)
+      : lc(lc_), lp(lp_), pb(pb_), depth(depth_) {
+    pb_mask = (1u << pb) - 1;
+    lp_mask = (1u << lp) - 1;
+    lit.assign((size_t)0x300 << (lc + lp), kInitProb);
+    for (auto& p : is_match) p = kInitProb;
+    for (auto& p : is_rep) p = kInitProb;
+    for (auto& p : is_rep_g0) p = kInitProb;
+    for (auto& p : is_rep_g1) p = kInitProb;
+    for (auto& p : is_rep_g2) p = kInitProb;
+    for (auto& p : is_rep0_long) p = kInitProb;
+    for (auto& p : pos_slot) p = kInitProb;
+    for (auto& p : spec_pos) p = kInitProb;
+    for (auto& p : align_p) p = kInitProb;
+    len_c.init();
+    rep_len_c.init();
+    head.assign(1 << kHashBits, -1);
+  }
+
+  static u32 hash4(const u8* p) {
+    u32 v;
+    memcpy(&v, p, 4);
+    return (v * 2654435761u) >> (32 - kHashBits);
+  }
+
+  void encode_literal(RangeEncoder& rc, const u8* data, size_t pos) {
+    u8 sym = data[pos];
+    u8 prev = pos ? data[pos - 1] : 0;
+    size_t ctx = (((u32)pos & lp_mask) << lc) + (prev >> (8 - lc));
+    u16* probs = lit.data() + 0x300 * ctx;
+    u32 m = 1;
+    if (state >= 7) {  // matched literal
+      u8 match_byte = data[pos - reps[0] - 1];
+      int i = 7;
+      for (; i >= 0; i--) {
+        int match_bit = (match_byte >> i) & 1;
+        int bit = (sym >> i) & 1;
+        rc.encode_bit(probs, ((1 + match_bit) << 8) + m, bit);
+        m = (m << 1) | bit;
+        if (match_bit != bit) {
+          i--;
+          break;
+        }
+      }
+      for (; i >= 0; i--) {
+        int bit = (sym >> i) & 1;
+        rc.encode_bit(probs, m, bit);
+        m = (m << 1) | bit;
+      }
+    } else {
+      for (int i = 7; i >= 0; i--) {
+        int bit = (sym >> i) & 1;
+        rc.encode_bit(probs, m, bit);
+        m = (m << 1) | bit;
+      }
+    }
+    state = state < 4 ? 0 : (state < 10 ? state - 3 : state - 6);
+  }
+
+  void encode_dist(RangeEncoder& rc, u32 dist, u32 len) {
+    int slot = pos_slot_of(dist);
+    rc.bittree(pos_slot + (len_state(len) << 6), 6, (u32)slot);
+    if (slot >= 4) {
+      int nd = (slot >> 1) - 1;
+      u32 base = (2u | (slot & 1)) << nd;
+      u32 rest = dist - base;
+      if (slot < 14) {
+        // note: the base offset is -1 for slot 4 (tree indices start at 1)
+        rc.bittree_rev(spec_pos + ((long)base - slot - 1), nd, rest);
+      } else {
+        rc.encode_direct(rest >> 4, nd - 4);
+        rc.bittree_rev(align_p, 4, rest & 15);
+      }
+    }
+  }
+
+  void encode_match(RangeEncoder& rc, u32 pos_state, u32 dist, u32 len) {
+    rc.encode_bit(is_match, (state << 4) + pos_state, 1);
+    rc.encode_bit(is_rep, state, 0);
+    len_c.encode(rc, len, pos_state);
+    encode_dist(rc, dist, len);
+    reps[3] = reps[2];
+    reps[2] = reps[1];
+    reps[1] = reps[0];
+    reps[0] = dist;
+    state = state < 7 ? 7 : 10;
+  }
+
+  void encode_rep(RangeEncoder& rc, u32 pos_state, int rep_idx, u32 len) {
+    rc.encode_bit(is_match, (state << 4) + pos_state, 1);
+    rc.encode_bit(is_rep, state, 1);
+    if (rep_idx == 0) {
+      rc.encode_bit(is_rep_g0, state, 0);
+      rc.encode_bit(is_rep0_long, (state << 4) + pos_state, 1);
+    } else {
+      rc.encode_bit(is_rep_g0, state, 1);
+      if (rep_idx == 1) {
+        rc.encode_bit(is_rep_g1, state, 0);
+      } else {
+        rc.encode_bit(is_rep_g1, state, 1);
+        rc.encode_bit(is_rep_g2, state, rep_idx == 3);
+        if (rep_idx == 3) {
+          u32 d = reps[3];
+          reps[3] = reps[2];
+          reps[2] = reps[1];
+          reps[1] = reps[0];
+          reps[0] = d;
+          goto done;
+        }
+        {
+          u32 d = reps[2];
+          reps[2] = reps[1];
+          reps[1] = reps[0];
+          reps[0] = d;
+        }
+        goto done;
+      }
+      {
+        u32 d = reps[1];
+        reps[1] = reps[0];
+        reps[0] = d;
+      }
+    }
+  done:
+    rep_len_c.encode(rc, len, pos_state);
+    state = state < 7 ? 8 : 11;
+  }
+
+  void encode_shortrep(RangeEncoder& rc, u32 pos_state) {
+    rc.encode_bit(is_match, (state << 4) + pos_state, 1);
+    rc.encode_bit(is_rep, state, 1);
+    rc.encode_bit(is_rep_g0, state, 0);
+    rc.encode_bit(is_rep0_long, (state << 4) + pos_state, 0);
+    state = state < 7 ? 9 : 11;
+  }
+
+  u32 match_len(const u8* data, size_t n, size_t pos, u32 dist) const {
+    if (dist + 1 > pos) return 0;
+    const u8* a = data + pos;
+    const u8* b = a - dist - 1;
+    u32 maxl = (u32)((n - pos < kMaxLen) ? (n - pos) : kMaxLen);
+    u32 l = 0;
+    while (l < maxl && a[l] == b[l]) l++;
+    return l;
+  }
+
+  // best match via hash chains; returns (len, dist) with len >= 2 or len 0
+  void find_match(const u8* data, size_t n, size_t pos, u32& best_len,
+                  u32& best_dist) {
+    best_len = 0;
+    best_dist = 0;
+    if (pos + 4 > n) return;
+    int32_t cand = head[hash4(data + pos)];
+    int d = depth;
+    u32 maxl = (u32)((n - pos < kMaxLen) ? (n - pos) : kMaxLen);
+    while (cand >= 0 && d-- > 0) {
+      u32 dist = (u32)(pos - cand - 1);
+      const u8* a = data + pos;
+      const u8* b = data + cand;
+      if (best_len == 0 || b[best_len] == a[best_len]) {
+        u32 l = 0;
+        while (l < maxl && a[l] == b[l]) l++;
+        if (l > best_len) {
+          best_len = l;
+          best_dist = dist;
+          if (l >= maxl) break;
+        }
+      }
+      cand = prevp[cand];
+    }
+    if (best_len < 2) best_len = 0;
+    // long distances need length >= 3..4 to pay off (price heuristic)
+    if (best_len == 2 && best_dist >= 512) best_len = 0;
+    if (best_len == 3 && best_dist >= (1u << 15)) best_len = 0;
+  }
+
+  void insert(const u8* data, size_t n, size_t pos) {
+    if (pos + 4 > n) return;
+    u32 h = hash4(data + pos);
+    prevp[pos] = head[h];
+    head[h] = (int32_t)pos;
+  }
+
+  size_t compress(const u8* data, size_t n, std::vector<u8>& out, u32 dict_size) {
+    out.push_back((u8)((pb * 5 + lp) * 9 + lc));
+    for (int i = 0; i < 4; i++) out.push_back((u8)(dict_size >> (8 * i)));
+    for (int i = 0; i < 8; i++) out.push_back(0xFF);
+
+    prevp.assign(n, -1);
+    RangeEncoder rc;
+    rc.out = &out;
+
+    size_t pos = 0;
+    while (pos < n) {
+      u32 pos_state = (u32)pos & pb_mask;
+
+      // rep candidates
+      u32 rep_len[4] = {0, 0, 0, 0};
+      int best_rep = -1;
+      u32 best_rep_len = 0;
+      if (state >= 0) {
+        for (int i = 0; i < 4; i++) {
+          rep_len[i] = match_len(data, n, pos, reps[i]);
+          if (rep_len[i] >= 2 && rep_len[i] > best_rep_len) {
+            best_rep_len = rep_len[i];
+            best_rep = i;
+          }
+        }
+      }
+      u32 mlen, mdist;
+      find_match(data, n, pos, mlen, mdist);
+
+      // lazy: if next position has a longer match, emit one literal/shortrep
+      bool use_match = mlen >= 2;
+      bool use_rep = best_rep_len >= 2 &&
+                     (best_rep_len + 1 >= mlen ||
+                      (best_rep_len + 2 >= mlen && mdist >= (1u << 9)));
+      u32 cur_len = use_rep ? best_rep_len : mlen;
+      if ((use_match || use_rep) && pos + 1 < n && cur_len < kMaxLen) {
+        insert(data, n, pos);
+        u32 nlen, ndist;
+        find_match(data, n, pos + 1, nlen, ndist);
+        if (nlen > cur_len + 1) {
+          // defer: emit a single byte (shortrep when it matches rep0)
+          if (pos >= reps[0] + 1 && data[pos] == data[pos - reps[0] - 1]) {
+            encode_shortrep(rc, pos_state);
+          } else {
+            rc.encode_bit(is_match, (state << 4) + pos_state, 0);
+            encode_literal(rc, data, pos);
+          }
+          pos += 1;
+          continue;
+        }
+        // not lazy: fall through (pos already inserted)
+        if (use_rep) {
+          encode_rep(rc, pos_state, best_rep, best_rep_len);
+        } else {
+          encode_match(rc, pos_state, mdist, mlen);
+        }
+        for (size_t p2 = pos + 1; p2 < pos + cur_len && p2 < n; p2++) insert(data, n, p2);
+        pos += cur_len;
+        continue;
+      }
+      if (use_match || use_rep) {
+        insert(data, n, pos);
+        if (use_rep) {
+          encode_rep(rc, pos_state, best_rep, best_rep_len);
+        } else {
+          encode_match(rc, pos_state, mdist, mlen);
+        }
+        for (size_t p2 = pos + 1; p2 < pos + cur_len && p2 < n; p2++) insert(data, n, p2);
+        pos += cur_len;
+        continue;
+      }
+      // single byte: shortrep if it matches rep0
+      insert(data, n, pos);
+      if (pos >= reps[0] + 1 && pos > 0 && data[pos] == data[pos - reps[0] - 1]) {
+        encode_shortrep(rc, pos_state);
+      } else {
+        rc.encode_bit(is_match, (state << 4) + pos_state, 0);
+        encode_literal(rc, data, pos);
+      }
+      pos += 1;
+    }
+
+    // EOS marker: match with dist 0xFFFFFFFF, len 2
+    u32 pos_state = (u32)pos & pb_mask;
+    rc.encode_bit(is_match, (state << 4) + pos_state, 1);
+    rc.encode_bit(is_rep, state, 0);
+    len_c.encode(rc, kMinLen, pos_state);
+    encode_dist(rc, 0xFFFFFFFFu, kMinLen);
+    rc.flush();
+    return out.size();
+  }
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Decoder (mirror of tiler_tpu/bitstream/lzma_py.py, in C++ for speed)
+// ---------------------------------------------------------------------------
+namespace {
+
+struct RangeDecoder {
+  const u8* buf;
+  size_t pos, n;
+  u32 code = 0, range = 0xFFFFFFFFu;
+
+  bool init() {
+    if (pos + 5 > n) return false;
+    pos++;  // first byte 0
+    for (int i = 0; i < 4; i++) code = (code << 8) | buf[pos++];
+    return true;
+  }
+
+  int decode_bit(u16* probs, size_t idx) {
+    u16 p = probs[idx];
+    u32 bound = (range >> 11) * p;
+    int bit;
+    if (code < bound) {
+      range = bound;
+      probs[idx] = (u16)(p + ((2048 - p) >> kNumMoveBits));
+      bit = 0;
+    } else {
+      range -= bound;
+      code -= bound;
+      probs[idx] = (u16)(p - (p >> kNumMoveBits));
+      bit = 1;
+    }
+    if (range < kTop) {
+      range <<= 8;
+      code = (code << 8) | (pos < n ? buf[pos] : 0);
+      pos++;
+    }
+    return bit;
+  }
+
+  u32 decode_direct(int nbits) {
+    u32 res = 0;
+    for (int i = 0; i < nbits; i++) {
+      range >>= 1;
+      code -= range;
+      u32 t = 0 - (code >> 31);
+      code += range & t;
+      res = (res << 1) + (t + 1);
+      if (range < kTop) {
+        range <<= 8;
+        code = (code << 8) | (pos < n ? buf[pos] : 0);
+        pos++;
+      }
+    }
+    return res;
+  }
+
+  u32 bittree(u16* probs, int nbits) {
+    u32 m = 1;
+    for (int i = 0; i < nbits; i++) m = (m << 1) | decode_bit(probs, m);
+    return m - (1u << nbits);
+  }
+
+  u32 bittree_rev(u16* probs, int nbits) {
+    u32 m = 1, sym = 0;
+    for (int i = 0; i < nbits; i++) {
+      int b = decode_bit(probs, m);
+      m = (m << 1) | b;
+      sym |= (u32)b << i;
+    }
+    return sym;
+  }
+};
+
+struct LenDec {
+  u16 choice[2];
+  u16 low[16 << 3];
+  u16 mid[16 << 3];
+  u16 high[256];
+  void init() {
+    choice[0] = choice[1] = kInitProb;
+    for (auto& p : low) p = kInitProb;
+    for (auto& p : mid) p = kInitProb;
+    for (auto& p : high) p = kInitProb;
+  }
+  u32 decode(RangeDecoder& rc, u32 ps) {
+    if (!rc.decode_bit(choice, 0)) return rc.bittree(low + (ps << 3), 3);
+    if (!rc.decode_bit(choice, 1)) return 8 + rc.bittree(mid + (ps << 3), 3);
+    return 16 + rc.bittree(high, 8);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Compress `in` into `out` (caller-allocated, out_cap bytes).
+// Returns bytes written, or 0 if out_cap too small / bad params.
+size_t gtm_lzma_compress(const u8* in, size_t in_len, u8* out, size_t out_cap,
+                         int lc, int lp, int pb, u32 dict_size, int depth) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return 0;
+  if (depth <= 0) depth = 64;
+  Encoder enc(lc, lp, pb, depth);
+  std::vector<u8> buf;
+  buf.reserve(in_len / 2 + 256);
+  enc.compress(in, in_len, buf, dict_size ? dict_size : (1u << 25));
+  if (buf.size() > out_cap) return 0;
+  memcpy(out, buf.data(), buf.size());
+  return buf.size();
+}
+
+// Decode one EOS-terminated stream at `in`. Writes payload to out
+// (out_cap), sets *consumed to input bytes used. Returns payload size,
+// or (size_t)-1 on error / overflow.
+size_t gtm_lzma_decompress(const u8* in, size_t in_len, u8* out,
+                           size_t out_cap, size_t* consumed) {
+  if (in_len < 13) return (size_t)-1;
+  int props = in[0];
+  if (props >= 9 * 5 * 5) return (size_t)-1;
+  int lc = props % 9, lp = (props / 9) % 5, pb = props / 45;
+  u64 usize = 0;
+  for (int i = 0; i < 8; i++) usize |= (u64)in[5 + i] << (8 * i);
+  bool unknown = usize == 0xFFFFFFFFFFFFFFFFull;
+
+  RangeDecoder rc{in, 13, in_len};
+  if (!rc.init()) return (size_t)-1;
+
+  std::vector<u16> lit((size_t)0x300 << (lc + lp), kInitProb);
+  u16 is_match[kNumStates << 4], is_rep[kNumStates], is_rep_g0[kNumStates],
+      is_rep_g1[kNumStates], is_rep_g2[kNumStates],
+      is_rep0_long[kNumStates << 4], pos_slot[4 << 6], spec_pos[115],
+      align_p[16];
+  for (auto& p : is_match) p = kInitProb;
+  for (auto& p : is_rep) p = kInitProb;
+  for (auto& p : is_rep_g0) p = kInitProb;
+  for (auto& p : is_rep_g1) p = kInitProb;
+  for (auto& p : is_rep_g2) p = kInitProb;
+  for (auto& p : is_rep0_long) p = kInitProb;
+  for (auto& p : pos_slot) p = kInitProb;
+  for (auto& p : spec_pos) p = kInitProb;
+  for (auto& p : align_p) p = kInitProb;
+  LenDec len_d, rep_len_d;
+  len_d.init();
+  rep_len_d.init();
+
+  size_t outp = 0;
+  u32 rep0 = 0, rep1 = 0, rep2 = 0, rep3 = 0;
+  int state = 0;
+  u32 pbm = (1u << pb) - 1, lpm = (1u << lp) - 1;
+
+  for (;;) {
+    if (!unknown && outp >= usize) break;
+    if (rc.pos > in_len) return (size_t)-1;
+    u32 ps = (u32)outp & pbm;
+    if (!rc.decode_bit(is_match, ((size_t)state << 4) + ps)) {
+      u8 prev = outp ? out[outp - 1] : 0;
+      size_t ctx = (((u32)outp & lpm) << lc) + (prev >> (8 - lc));
+      u16* probs = lit.data() + 0x300 * ctx;
+      u32 sym = 1;
+      if (state >= 7) {
+        u8 mb = out[outp - rep0 - 1];
+        while (sym < 0x100) {
+          int match_bit = (mb >> 7) & 1;
+          mb <<= 1;
+          int bit = rc.decode_bit(probs, ((size_t)(1 + match_bit) << 8) + sym);
+          sym = (sym << 1) | bit;
+          if (match_bit != bit) break;
+        }
+      }
+      while (sym < 0x100) sym = (sym << 1) | rc.decode_bit(probs, sym);
+      if (outp >= out_cap) return (size_t)-1;
+      out[outp++] = (u8)sym;
+      state = state < 4 ? 0 : (state < 10 ? state - 3 : state - 6);
+      continue;
+    }
+    u32 len;
+    if (rc.decode_bit(is_rep, state)) {
+      if (rc.decode_bit(is_rep_g0, state)) {
+        u32 dist;
+        if (!rc.decode_bit(is_rep_g1, state)) {
+          dist = rep1;
+        } else {
+          if (!rc.decode_bit(is_rep_g2, state)) {
+            dist = rep2;
+          } else {
+            dist = rep3;
+            rep3 = rep2;
+          }
+          rep2 = rep1;
+        }
+        rep1 = rep0;
+        rep0 = dist;
+      } else {
+        if (!rc.decode_bit(is_rep0_long, ((size_t)state << 4) + ps)) {
+          state = state < 7 ? 9 : 11;
+          if (outp >= out_cap || outp < rep0 + 1) return (size_t)-1;
+          out[outp] = out[outp - rep0 - 1];
+          outp++;
+          continue;
+        }
+      }
+      len = rep_len_d.decode(rc, ps) + kMinLen;
+      state = state < 7 ? 8 : 11;
+    } else {
+      rep3 = rep2;
+      rep2 = rep1;
+      rep1 = rep0;
+      len = len_d.decode(rc, ps) + kMinLen;
+      state = state < 7 ? 7 : 10;
+      int ls = len_state(len);
+      u32 slot = rc.bittree(pos_slot + (ls << 6), 6);
+      if (slot < 4) {
+        rep0 = slot;
+      } else {
+        int nd = ((int)slot >> 1) - 1;
+        rep0 = (2u | (slot & 1)) << nd;
+        if (slot < 14) {
+          rep0 += rc.bittree_rev(spec_pos + ((long)rep0 - (long)slot - 1), nd);
+        } else {
+          rep0 += rc.decode_direct(nd - 4) << 4;
+          rep0 += rc.bittree_rev(align_p, 4);
+        }
+      }
+      if (rep0 == 0xFFFFFFFFu) break;  // EOS
+    }
+    if (outp + len > out_cap || rep0 + 1 > outp) return (size_t)-1;
+    const u8* src = out + outp - rep0 - 1;
+    for (u32 i = 0; i < len; i++) out[outp + i] = src[i];
+    outp += len;
+  }
+  if (consumed) *consumed = rc.pos;
+  return outp;
+}
+
+}  // extern "C"

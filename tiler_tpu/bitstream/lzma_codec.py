@@ -24,12 +24,28 @@ from __future__ import annotations
 import lzma as _lzma
 from typing import List, Tuple
 
-_native = None  # optional ctypes module with encode/decode
+_native = None  # optional module with lzma_compress/lzma_decompress_stream
+_native_probed = False
 
 
 def set_native_codec(mod) -> None:
-    global _native
+    global _native, _native_probed
     _native = mod
+    _native_probed = True
+
+
+def _get_native():
+    global _native, _native_probed
+    if not _native_probed:
+        _native_probed = True
+        try:
+            from .. import native as mod
+
+            if mod.available():
+                _native = mod
+        except Exception:
+            _native = None
+    return _native
 
 
 def default_filters(lc: int = 4, lp: int = 0, pb: int = 2, dict_size: int = 1 << 25):
@@ -45,13 +61,18 @@ def default_filters(lc: int = 4, lp: int = 0, pb: int = 2, dict_size: int = 1 <<
     ]
 
 
-def compress(data: bytes, lc: int = 4, lp: int = 0, pb: int = 2) -> bytes:
-    """Compress one keyframe payload into an EOS-terminated .lzma-alone stream."""
-    if _native is not None and hasattr(_native, "lzma_compress"):
-        return _native.lzma_compress(data, lc=lc, lp=lp, pb=pb)
+def compress(data: bytes, lc: int = 8, lp: int = 0, pb: int = 2) -> bytes:
+    """Compress one keyframe payload into an EOS-terminated .lzma-alone
+    stream. Default lc=8 matches the reference encoder (extern.pas:427)
+    via the native codec; falls back to liblzma (lc clamped to <=4, still
+    decoder-conformant since the props byte self-describes)."""
+    nat = _get_native()
+    if nat is not None:
+        try:
+            return nat.lzma_compress(data, lc=lc, lp=lp, pb=pb)
+        except Exception:
+            pass
     if lc > 4 or lc + lp > 4:
-        # liblzma constraint; fall back to the max it supports. The props
-        # byte in the output self-describes, so decoders stay happy.
         lc = min(lc, 4 - lp)
     comp = _lzma.LZMACompressor(
         format=_lzma.FORMAT_ALONE, filters=default_filters(lc=lc, lp=lp, pb=pb)
@@ -77,8 +98,12 @@ def decompress_stream(buf: bytes, offset: int = 0) -> Tuple[bytes, int]:
     the GliGli-modified worker loop (decoders/htmljs/wlzma.wrk.js:49-63).
     """
     lc, lp, pb, _ = _parse_props(buf[offset : offset + 5])
-    if _native is not None and hasattr(_native, "lzma_decompress_stream"):
-        return _native.lzma_decompress_stream(buf, offset)
+    nat = _get_native()
+    if nat is not None:
+        try:
+            return nat.lzma_decompress_stream(buf, offset)
+        except Exception:
+            pass
     if lc <= 4 and lc + lp <= 4:
         dec = _lzma.LZMADecompressor(format=_lzma.FORMAT_ALONE)
         out = dec.decompress(buf[offset:])
