@@ -236,7 +236,8 @@ def test_demo_stream_prologue_decodes():
 def test_lzma_alone_container_shape():
     blob = lzma_codec.compress(b"x" * 1000)
     # props byte self-describing, 8x0xFF unknown-size field (extern.pas:427-435)
-    assert blob[0] == (2 * 5 + 0) * 9 + 4  # pb=2, lp=0, lc=4
+    # native codec: lc=8 (reference parity); stdlib fallback clamps to lc=4
+    assert blob[0] in ((2 * 5 + 0) * 9 + 8, (2 * 5 + 0) * 9 + 4)
     assert blob[5:13] == b"\xff" * 8
     outs = lzma_codec.split_streams(blob + lzma_codec.compress(b"y" * 10))
     assert outs == [b"x" * 1000, b"y" * 10]
