@@ -120,9 +120,14 @@ def _motion_core(cur_rgb, prev_rgb, radius: int):
     N2p = jnp.pad(N2, ((P, P + ph), (P, P + pw)), constant_values=jnp.inf)
     mh = Fp.shape[0] // TILE_W
     mw = Fp.shape[1] // TILE_W
-    # Fblk[m, n, sy, sx, k] = Fp[8m+sy, 8n+sx, k]
-    Fblk = Fp.reshape(mh, TILE_W, mw, TILE_W, K).transpose(0, 2, 1, 3, 4)
+    # Fblk[m, n, sy, sx, k] = Fp[8m+sy, 8n+sx, k]; bf16 — the cross terms
+    # only rank candidates (exact winner error recomputed from fp32 Fp
+    # below), and bf16 halves the dominant HBM traffic.
+    Fblk = (
+        Fp.astype(jnp.bfloat16).reshape(mh, TILE_W, mw, TILE_W, K).transpose(0, 2, 1, 3, 4)
+    )
     N2blk = N2p.reshape(mh, TILE_W, mw, TILE_W).transpose(0, 2, 1, 3)
+    Tb = T.astype(jnp.bfloat16)
 
     # cross terms for all 2Q x 2Q block shifts (static slices)
     rows = []
@@ -130,9 +135,9 @@ def _motion_core(cur_rgb, prev_rgb, radius: int):
         cols = []
         for qx in range(2 * Q):
             S = Fblk[qy : qy + th, qx : qx + tw]
-            # selection-only term: default (fast) matmul precision is fine,
-            # the winner's error is recomputed exactly below
-            C = jnp.einsum("ijabk,ijk->ijab", S, T)
+            C = jnp.einsum(
+                "ijabk,ijk->ijab", S, Tb, preferred_element_type=jnp.float32
+            )
             Nw = N2blk[qy : qy + th, qx : qx + tw]
             cols.append(T2[:, :, None, None] - 2.0 * C + Nw)
         rows.append(jnp.stack(cols, axis=2))  # [th, tw, 2Q, 8, 8]

@@ -89,12 +89,16 @@ def _topk_candidates(feats, ds, k: int, chunk: int):
     Tpad = nchunks * chunk
     dsp = jnp.pad(ds, ((0, Tpad - T), (0, 0)))
     d2pad = jnp.sum(dsp * dsp, axis=1)
+    # ranking-only matmuls in bf16 (the kd-tree being replaced was itself
+    # approximate; exact errors are recomputed for the winners)
+    fb = feats.astype(jnp.bfloat16)
+    dsb = dsp.astype(jnp.bfloat16)
 
     def body(carry, i):
         best_err, best_idx = carry
-        c = jax.lax.dynamic_slice(dsp, (i * chunk, 0), (chunk, K))
+        c = jax.lax.dynamic_slice(dsb, (i * chunk, 0), (chunk, K))
         c2 = jax.lax.dynamic_slice(d2pad, (i * chunk,), (chunk,))
-        d = f2 - 2.0 * (feats @ c.T) + c2[None, :]
+        d = f2 - 2.0 * jnp.matmul(fb, c.T, preferred_element_type=jnp.float32) + c2[None, :]
         d = jnp.where((i * chunk + jnp.arange(chunk))[None, :] < T, d, jnp.inf)
         allerr = jnp.concatenate([best_err, d], axis=1)
         cidx = (i * chunk + jnp.arange(chunk)).astype(jnp.int32)
@@ -126,9 +130,13 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
         f = jax.lax.dynamic_slice(featsp, (i * cell_chunk, 0), (cell_chunk, K))
         ci = jax.lax.dynamic_slice(cip, (i * cell_chunk, 0), (cell_chunk, kk))
         cp = jax.lax.dynamic_slice(cpp, (i * cell_chunk, 0), (cell_chunk, kk))
-        Gi = G[ci]  # [b, kk, 64, S]
-        Py = pal_yuv[cp]  # [b, kk, S, 3]
-        rf = jnp.einsum("bivs,bjsc->bijvc", Gi, Py) * wf[None, None, None]
+        # bf16 gathers/matmuls: ranking only — winners get an exact
+        # fp32 re-evaluation in _knn_phase
+        Gi = G[ci]  # [b, kk, 64, S] (bf16)
+        Py = pal_yuv[cp].astype(jnp.bfloat16)  # [b, kk, S, 3]
+        rf = jnp.einsum(
+            "bivs,bjsc->bijvc", Gi, Py, preferred_element_type=jnp.float32
+        ) * wf[None, None, None]
         ft = f.reshape(-1, 3, 64).transpose(0, 2, 1)[:, None, None]
         d = rf - ft
         err = jnp.sum(d * d, axis=(-2, -1)).reshape(cell_chunk, kk * kk)
@@ -164,10 +172,12 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings
     best_err = np.empty((F, N), np.float32)
 
     if epu:
-        G = jnp.asarray(_indicator_dcts(state.corpus_pal_pixels, settings.palette_size))
-        pal_yuv = jnp.asarray(
-            np.asarray(rgb_to_yuv(jnp.asarray(state.palettes_rgb, jnp.float32)))
+        G = _indicator_dcts(state.corpus_pal_pixels, settings.palette_size).astype(
+            jnp.bfloat16
         )
+        pal_yuv = rgb_to_yuv(jnp.asarray(state.palettes_rgb, jnp.float32))
+        pp_dev = jnp.asarray(state.corpus_pal_pixels)
+        palettes_dev = jnp.asarray(state.palettes_rgb)
 
     # frame group size bounded by feats + topk footprint
     group = max(1, int(4e8 / (N * (192 * 4 + kk * kk * 4))))
@@ -186,14 +196,24 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings
         else:
             cand_idx = jnp.sort(idx, axis=1)
             cand_pal = jnp.sort(pal_initial[idx], axis=1)
-            t, p, e = _epu_rank_all(
+            t, p, _ = _epu_rank_all(
                 feats, cand_idx, cand_pal, G, pal_yuv, settings.palette_size,
                 cell_chunk=256,
             )
+            e = _exact_choice_err(feats, t, p, pp_dev, palettes_dev)
             best_tile[f0:f1] = np.asarray(t).reshape(f1 - f0, N)
             best_pal[f0:f1] = np.asarray(p).reshape(f1 - f0, N)
             best_err[f0:f1] = np.asarray(e).reshape(f1 - f0, N)
     return best_tile, best_pal, best_err
+
+
+@jax.jit
+def _exact_choice_err(feats, tile, pal, pp, palettes):
+    """Exact fp32 error of the chosen (tile, palette) per cell."""
+    rgb = palettes[pal[:, None, None], pp[tile]].astype(jnp.float32)
+    rf = tile_features_raster(rgb).reshape(-1, K)
+    d = feats - rf
+    return jnp.sum(d * d, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "th", "tw"))
