@@ -123,3 +123,25 @@ def test_checkpoint_roundtrip(tmp_path, encoded):
     out2 = tmp_path / "again.gtm"
     enc2.save(str(out2))
     assert open(path, "rb").read() == open(str(out2), "rb").read()
+
+
+def test_reload_gtm_roundtrip(encoded, tmp_path):
+    """ReloadGTM parity: re-import an encoded stream into encoder state and
+    re-render; must match the decoder. Mismatched video must raise."""
+    import pytest
+    from tiler_tpu.pipeline.encoder import Encoder, GTMReloadError
+    from tiler_tpu import render
+
+    clip, enc, path = encoded
+    enc2 = Encoder(_settings(), log=lambda *a: None)
+    enc2.reload_gtm(path)
+    assert enc2.state.n_frames == 0  # no video loaded -> no validation
+    assert len(enc2.state.keyframes) >= 1
+    out0 = render.render_output(enc2.state, 0)
+    frames = GTMDecoder(path).decode_frames()
+    assert np.array_equal(out0, frames[0][..., :3])
+
+    enc3 = Encoder(_settings(), log=lambda *a: None)
+    enc3.load_frames(clip[:3], fps=25.0)  # wrong frame count
+    with pytest.raises(GTMReloadError):
+        enc3.reload_gtm(path)

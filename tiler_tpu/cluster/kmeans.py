@@ -90,15 +90,20 @@ def _kmeans_jit(points, weights, key, k: int, iters: int, chunk: int, init: str)
 
     def lloyd(cents, _):
         c2 = jnp.sum(cents * cents, axis=1)
+        cb = cents.astype(jnp.bfloat16)
 
         def acc(carry, xw):
             x, wi = xw
             x2 = jnp.sum(x * x, axis=1, keepdims=True)
-            d2 = x2 - 2.0 * (x @ cents.T) + c2[None, :]
+            # assignment ranking in bf16 (fast MXU path)
+            d2 = x2 - 2.0 * jnp.matmul(
+                x.astype(jnp.bfloat16), cb.T, preferred_element_type=jnp.float32
+            ) + c2[None, :]
             a = jnp.argmin(d2, axis=1)
-            oh = jax.nn.one_hot(a, k, dtype=x.dtype) * wi[:, None]
             sums, cnts = carry
-            return (sums + oh.T @ x, cnts + oh.sum(axis=0)), None
+            sums = sums + jax.ops.segment_sum(x * wi[:, None], a, num_segments=k)
+            cnts = cnts + jax.ops.segment_sum(wi, a, num_segments=k)
+            return (sums, cnts), None
 
         (sums, cnts), _ = jax.lax.scan(
             acc, (jnp.zeros((k, d), points.dtype), jnp.zeros((k,), points.dtype)), (pts, w)

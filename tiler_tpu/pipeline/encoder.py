@@ -32,6 +32,11 @@ STEPS = (
 )
 
 
+class GTMReloadError(Exception):
+    """Stream/video mismatch on re-import (ETilingEncoderGTMReloadError,
+    tilingencoder.pas:112, raised :5030)."""
+
+
 class Encoder:
     """Drives an EncodeState through the pipeline steps."""
 
@@ -133,6 +138,55 @@ class Encoder:
             .reindex()
             .save(out_path)
         )
+
+    def reload_gtm(self, path: str):
+        """Re-import an encoded .gtm into encoder state for inspection
+        (ReloadGTM, tilingencoder.pas:2059-2074; validation :5022-5030).
+        Raises GTMReloadError when the stream doesn't match loaded video."""
+        from ..bitstream.gtm import GTMReader
+        from ..models.state import KeyFrameInfo, TileMapSoA
+
+        g = GTMReader.read(path)
+        if self.state.n_frames:
+            problems = []
+            if len(g.frames) != self.state.n_frames:
+                problems.append(f"GTM FrameCount = {len(g.frames)}; FrameCount = {self.state.n_frames}")
+            if g.width != self.state.width:
+                problems.append(f"GTM ScreenWidth = {g.width}; ScreenWidth = {self.state.width}")
+            if g.height != self.state.height:
+                problems.append(f"GTM ScreenHeight = {g.height}; ScreenHeight = {self.state.height}")
+            if problems:
+                raise GTMReloadError("Mismatch between GTM and loaded video!\n" + "\n".join(problems))
+        st = self.state
+        st.tilemap_w, st.tilemap_h = g.tilemap_w, g.tilemap_h
+        st.fps = g.fps or st.fps
+        F, N = len(g.frames), g.tilemap_w * g.tilemap_h
+        tm = TileMapSoA.zeros(F, N)
+        for f, fr in enumerate(g.frames):
+            tm.tile_idx[f] = fr.tile_idx
+            tm.pal_idx[f] = fr.pal_idx
+            tm.predicted[f] = fr.predicted
+            tm.pred_x[f] = fr.pred_x
+            tm.pred_y[f] = fr.pred_y
+            tm.hmirror[f] = fr.hmirror
+            tm.vmirror[f] = fr.vmirror
+        st.tilemap = tm
+        st.corpus_pal_pixels = g.tiles_pal
+        st.corpus_use = np.zeros(len(g.tiles_pal), np.int64)
+        used = tm.tile_idx[tm.tile_idx >= 0]
+        np.add.at(st.corpus_use, used, 1)
+        st.corpus_pal_initial = np.zeros(len(g.tiles_pal), np.int32)
+        st.palettes_rgb = g.palettes_rgb
+        st.palettes_valid = None if g.palettes_rgb is None else np.ones(g.palettes_rgb.shape[:2], bool)
+        st.keyframes = []
+        start = 0
+        for k, is_end in enumerate([i for i, e in enumerate(g.keyframe_end) if e]):
+            st.keyframes.append(KeyFrameInfo(k, start, is_end))
+            start = is_end + 1
+        st.frame_kf = np.zeros(F, np.int32)
+        for kf in st.keyframes:
+            st.frame_kf[kf.start_frame : kf.end_frame + 1] = kf.index
+        return self
 
     # --- checkpoint/resume --------------------------------------------------
     def save_checkpoint(self, path: str):
