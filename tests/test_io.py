@@ -1,0 +1,71 @@
+"""IO tests: Y4M write/read round-trip, image sequences, exports,
+median-cut quantizer, least-squares util."""
+import numpy as np
+
+from tiler_tpu.io import export, video
+from tiler_tpu.cluster.mediancut import median_cut
+from tiler_tpu.utils.search import least_squares
+
+
+def test_y4m_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    # moderate saturation: fully saturated colors clip V at +128 offset,
+    # exactly like the reference's writer (tilingencoder.pas:2184-2186)
+    frames = rng.randint(48, 208, (5, 32, 48, 3)).astype(np.uint8)
+    p = tmp_path / "t.y4m"
+    export.write_y4m(str(p), frames, fps=25.0)
+    back, fps = video.load_y4m(str(p))
+    assert abs(fps - 25.0) < 1e-3
+    assert back.shape == frames.shape
+    diff = np.abs(back.astype(int) - frames.astype(int))
+    assert diff.mean() < 1.5 and diff.max() <= 4
+
+
+def test_image_sequence(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(1)
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)).save(
+            tmp_path / f"f{i:03d}.png"
+        )
+    frames, fps = video.load_image_sequence(str(tmp_path / "f%03d.png"))
+    assert frames.shape == (4, 16, 16, 3)
+    assert fps == 24.0
+
+
+def test_manual_keyframe_sidecars(tmp_path):
+    from PIL import Image
+
+    for i in range(4):
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(tmp_path / f"f{i:02d}.png")
+    (tmp_path / "f02.kf").write_text("")
+    kfs = video.manual_keyframes(str(tmp_path / "f%02d.png"), 0, 4)
+    assert kfs == [2]
+
+
+def test_png_export(tmp_path):
+    frames = [np.full((16, 16, 4), 128, np.uint8) for _ in range(2)]
+    pal = np.zeros((2, 16, 3), np.uint8)
+    export.write_pngs(str(tmp_path / "out.gtm"), frames, pal)
+    assert (tmp_path / "out_0000.png").exists()
+    assert (tmp_path / "out_0001.png").exists()
+    txt = (tmp_path / "out.txt").read_text().splitlines()
+    assert len(txt) == 32 and txt[0] == "FF000000"
+
+
+def test_median_cut():
+    rng = np.random.RandomState(2)
+    reds = np.array([250, 5, 5]) + rng.randint(-3, 4, (50, 3))
+    blues = np.array([5, 5, 250]) + rng.randint(-3, 4, (50, 3))
+    pal = median_cut(np.concatenate([reds, blues]), None, 2)
+    assert pal.shape == (2, 3)
+    hi = pal[:, 0].argmax()
+    assert pal[hi][0] > 200 and pal[1 - hi][2] > 200
+
+
+def test_least_squares():
+    a = np.array([[1.0, 0], [0, 2.0], [1, 1]])
+    x_true = np.array([3.0, -1.0])
+    b = a @ x_true
+    assert np.allclose(least_squares(a, b), x_true)

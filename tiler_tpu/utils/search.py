@@ -21,6 +21,14 @@ PHI = (1 + math.sqrt(5)) / 2
 INV_PHI = 1 / PHI
 
 
+def least_squares(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Least-squares solve min |a x - b| (capability parity with the
+    reference's vestigial numlib slegls wrapper, sle.pas:64-321 — kept in
+    its uses clause for a removed tile-blending feature)."""
+    x, *_ = np.linalg.lstsq(np.asarray(a, np.float64), np.asarray(b, np.float64), rcond=None)
+    return x
+
+
 def golden_ratio_search(
     func: Callable[[float], float],
     lo: float,
