@@ -196,9 +196,11 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings
         else:
             cand_idx = jnp.sort(idx, axis=1)
             cand_pal = jnp.sort(pal_initial[idx], axis=1)
+            # bound the [chunk, kk, kk, 64, 3] fp32 intermediate to ~200MB
+            cell_chunk = max(8, min(512, int(2e8 / (kk * kk * 64 * 3 * 4))))
             t, p, _ = _epu_rank_all(
                 feats, cand_idx, cand_pal, G, pal_yuv, settings.palette_size,
-                cell_chunk=256,
+                cell_chunk=cell_chunk,
             )
             e = _exact_choice_err(feats, t, p, pp_dev, palettes_dev)
             best_tile[f0:f1] = np.asarray(t).reshape(f1 - f0, N)
