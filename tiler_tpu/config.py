@@ -52,6 +52,7 @@ class EncoderSettings:
     kmeans_iters: int = 30
     corpus_chunk: int = 8192  # corpus matmul chunk for KNN
     seed: int = 0x42381337  # CRandomSeed (extern.pas:226)
+    use_pallas_tk: bool = True  # Pallas Thomas Knoll kernel (falls back to XLA)
 
     def derived_tile_count(self, total_raw_tiles: int) -> int:
         """GlobalTilingTileCount resolution (tilingencoder.pas:2937-2948)."""

@@ -217,6 +217,12 @@ def dither(state: EncodeState, settings: EncoderSettings, chunk: int = 16384) ->
     # the reference un-mirrors to natural orientation before dithering
     hm, vm = _corpus_initial_mirrors(state)
 
+    if settings.dithering_use_thomas_knoll and settings.use_pallas_tk:
+        sel = _dither_tk_pallas(state, settings, hm, vm)
+        if sel is not None:
+            state.corpus_pal_pixels = sel
+            return state
+
     chunk = min(chunk, max(1, T))
     nch = -(-T // chunk)
     Tp = nch * chunk
@@ -242,6 +248,33 @@ def dither(state: EncodeState, settings: EncoderSettings, chunk: int = 16384) ->
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     state.corpus_pal_pixels = out[:T]  # device-resident
     return state
+
+
+def _dither_tk_pallas(state: EncodeState, settings: EncoderSettings, hm, vm):
+    """Thomas Knoll via the Pallas kernel (palette tables VMEM-resident for
+    the whole 64-step loop). Returns None on any failure so the caller
+    falls back to the XLA path (e.g. pallas unsupported on the backend)."""
+    try:
+        import jax
+
+        from ..kernels.tk_dither import tk_dither_pallas
+
+        T = len(state.corpus_rgb)
+        bay = jnp.broadcast_to(jnp.asarray(BAYER8), (T, 8, 8))
+        bay = jnp.where(jnp.asarray(hm)[:, None, None], bay[:, :, ::-1], bay)
+        bay = jnp.where(jnp.asarray(vm)[:, None, None], bay[:, ::-1, :], bay)
+        interpret = jax.default_backend() == "cpu"
+        out = tk_dither_pallas(
+            jnp.asarray(state.corpus_rgb),
+            jnp.asarray(state.corpus_pal_initial.astype(np.int32)),
+            jnp.asarray(state.palettes_rgb.astype(np.int32)),
+            jnp.asarray(state.palettes_valid),
+            bay,
+            interpret=interpret,
+        )
+        return out
+    except Exception:
+        return None
 
 
 def _corpus_initial_mirrors(state: EncodeState):
