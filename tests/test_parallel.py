@@ -51,3 +51,21 @@ def test_sharded_lloyd_matches_single_device(mesh):
             ww = np.asarray(w)[m]
             want[k] = (np.asarray(pts)[m] * ww[:, None]).sum(0) / ww.sum()
     assert np.allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+
+
+def test_pipeline_encode_with_mesh(mesh, tmp_path):
+    """Full encode with the corpus-sharded KNN path on the 8-device mesh
+    must produce a playable stream matching single-device quality."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_e2e import synthetic_clip, _settings, _psnr_rgb
+    from tiler_tpu.pipeline.encoder import Encoder
+    from tiler_tpu.bitstream.gtm import GTMDecoder
+
+    clip = synthetic_clip(F=6)
+    enc = Encoder(_settings(), log=lambda *a: None, mesh=mesh)
+    p = tmp_path / "mesh.gtm"
+    enc.run_all(clip, fps=24.0, out_path=str(p))
+    frames = GTMDecoder(str(p)).decode_frames()
+    assert len(frames) == 6
+    assert _psnr_rgb(np.stack(frames)[..., :3], clip) > 20.0

@@ -40,12 +40,23 @@ class GTMReloadError(Exception):
 class Encoder:
     """Drives an EncodeState through the pipeline steps."""
 
-    def __init__(self, settings: Optional[EncoderSettings] = None, log=print):
+    def __init__(self, settings: Optional[EncoderSettings] = None, log=print,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a "corpus" axis — shards
+        the KNN dataset over chips (ICI collectives); auto-created when
+        multiple devices are visible."""
         self.settings = settings or EncoderSettings()
         self.state = EncodeState()
         self.log = log or (lambda *_: None)
         self.timings = {}
         self.stats = None
+        if mesh == "auto":
+            import jax
+
+            from ..parallel import make_mesh
+
+            mesh = make_mesh() if jax.device_count() > 1 else None
+        self.mesh = mesh
 
     # --- ingest -----------------------------------------------------------
     def load_frames(self, frames_rgb: np.ndarray, fps: float = 24.0,
@@ -101,7 +112,7 @@ class Encoder:
 
     def reconstruct(self):
         t0 = time.monotonic()
-        reconstruct_mod.reconstruct(self.state, self.settings)
+        reconstruct_mod.reconstruct(self.state, self.settings, mesh=self.mesh)
         self._stamp("reconstruct", t0)
         for kf in self.state.keyframes:
             self.log(f"KF {kf.start_frame:6d} PSNR-HVS: {self.state.kf_psnr[kf.index]:10.6f} (by tile)")

@@ -152,9 +152,13 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
     return t.reshape(Bp)[:B], p.reshape(Bp)[:B], e.reshape(Bp)[:B]
 
 
-def _knn_phase(state: EncodeState, settings: EncoderSettings
+def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Phase A: per-cell best (tile, palette, err) over all frames."""
+    """Phase A: per-cell best (tile, palette, err) over all frames.
+
+    With a mesh, the corpus dataset is sharded over the "corpus" axis and
+    top-k candidates ride ICI (parallel/knn.py); single-chip falls back to
+    chunked local matmuls."""
     F, N = state.n_frames, state.tilemap_size
     rendered = _render_corpus_dev(
         jnp.asarray(state.palettes_rgb),
@@ -163,6 +167,15 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings
     )
     dsj = tile_features_raster(rendered.astype(jnp.float32))  # [T, 192] device
     T = int(dsj.shape[0])
+
+    ds_sharded = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        nshard = mesh.shape["corpus"]
+        Tpad = -(-T // nshard) * nshard
+        dspad = jnp.pad(dsj, ((0, Tpad - T), (0, 0)), constant_values=1e12)
+        ds_sharded = jax.device_put(dspad, NamedSharding(mesh, P("corpus", None)))
     epu = settings.frame_tiling_extended_palette_usage
     kk = min(settings.epu_knn_k, T) if epu else 1
 
@@ -186,7 +199,13 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings
         f1 = min(F, f0 + group)
         tiles = jnp.asarray(state.tiles_canon[f0:f1], jnp.float32)
         feats = tile_features_raster(tiles.reshape(-1, 8, 8, 3))
-        idx, err = _topk_candidates(feats, dsj, kk, corpus_chunk)
+        if ds_sharded is not None:
+            from ..parallel.knn import sharded_topk
+
+            idx, err = sharded_topk(feats, ds_sharded, kk, mesh)
+            idx = jnp.minimum(idx, T - 1)  # padded rows never rank
+        else:
+            idx, err = _topk_candidates(feats, dsj, kk, corpus_chunk)
         if not epu:
             d = feats - dsj[idx[:, 0]]
             exact = jnp.sum(d * d, axis=1)
@@ -280,13 +299,13 @@ def _phase_b_scan(frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start,
     return outs
 
 
-def reconstruct(state: EncodeState, settings: EncoderSettings) -> EncodeState:
+def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> EncodeState:
     F, N = state.n_frames, state.tilemap_size
     th, tw = state.tilemap_h, state.tilemap_w
     tm = state.tilemap
     R = settings.motion_predict_radius
 
-    knn_tile, knn_pal, knn_err = _knn_phase(state, settings)
+    knn_tile, knn_pal, knn_err = _knn_phase(state, settings, mesh=mesh)
 
     kf_start = np.zeros(F, bool)
     for kf in state.keyframes:
