@@ -70,3 +70,25 @@ def test_cli_info_on_demo(capsys):
     assert cli.main(["info", demo]) == 0
     out = capsys.readouterr().out
     assert '"frame_count": 260' in out
+
+
+def test_cli_encode_decode_roundtrip(tmp_path):
+    """CLI end-to-end: y4m in -> encode -> decode -> y4m out."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_e2e import synthetic_clip
+    from tiler_tpu.io.export import write_y4m
+
+    clip = synthetic_clip(F=4)
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), clip, fps=24.0)
+    out = tmp_path / "out.gtm"
+    rc = cli.main([
+        "encode", "-i", str(src), "-o", str(out),
+        "--palette-count", "8", "--quality", "2", "--radius", "8",
+    ])
+    assert rc == 0 and out.exists()
+    rc = cli.main(["decode", str(out), str(tmp_path / "back.y4m")])
+    assert rc == 0 and (tmp_path / "back.y4m").exists()
+    rc = cli.main(["info", str(out), "--full"])
+    assert rc == 0
