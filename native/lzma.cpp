@@ -151,6 +151,65 @@ inline int len_state(u32 len) {
   return l < 3 ? (int)l : 3;
 }
 
+// ---------------------------------------------------------------------------
+// Bit prices (1/16-bit units), standard LZMA price table construction
+// ---------------------------------------------------------------------------
+constexpr int kNumBitPriceShiftBits = 4;
+constexpr int kNumMoveReducingBits = 4;
+
+struct PriceTable {
+  u32 prices[2048 >> kNumMoveReducingBits];
+  PriceTable() {
+    for (int i = (1 << kNumMoveReducingBits) / 2; i < 2048;
+         i += (1 << kNumMoveReducingBits)) {
+      // count fractional bits of -log2(i/2048)
+      u32 w = (u32)i;
+      u32 bit_count = 0;
+      for (int j = 0; j < kNumBitPriceShiftBits; j++) {
+        w = w * w;
+        u32 zeros = 0;
+        while (w >= (1u << 16)) {
+          w >>= 1;
+          zeros++;
+        }
+        bit_count = (bit_count << 1) + zeros;
+      }
+      prices[i >> kNumMoveReducingBits] =
+          (11u << kNumBitPriceShiftBits) - 15u - bit_count;
+    }
+  }
+  inline u32 p0(u16 prob) const { return prices[prob >> kNumMoveReducingBits]; }
+  inline u32 p1(u16 prob) const {
+    return prices[(2048 - prob) >> kNumMoveReducingBits];
+  }
+  inline u32 pb(u16 prob, int bit) const { return bit ? p1(prob) : p0(prob); }
+};
+
+static const PriceTable g_prices;
+
+inline u32 tree_price(const u16* probs, int nbits, u32 sym) {
+  u32 price = 0;
+  u32 m = 1;
+  for (int i = nbits - 1; i >= 0; i--) {
+    int b = (sym >> i) & 1;
+    price += g_prices.pb(probs[m], b);
+    m = (m << 1) | b;
+  }
+  return price;
+}
+
+inline u32 tree_rev_price(const u16* probs, int nbits, u32 sym) {
+  u32 price = 0;
+  u32 m = 1;
+  for (int i = 0; i < nbits; i++) {
+    int b = sym & 1;
+    sym >>= 1;
+    price += g_prices.pb(probs[m], b);
+    m = (m << 1) | b;
+  }
+  return price;
+}
+
 inline int pos_slot_of(u32 dist) {
   if (dist < 4) return (int)dist;
   int nb = 31 - __builtin_clz(dist);
@@ -368,6 +427,264 @@ struct Encoder {
     head[h] = (int32_t)pos;
   }
 
+  // ------------------------------------------------------------------
+  // Price functions (1/16-bit units) over the live probability state —
+  // the optimal parse picks the cheapest op sequence per window.
+  // ------------------------------------------------------------------
+  u32 price_len(const LenCoder& lenc, u32 len, u32 ps) const {
+    u32 l = len - kMinLen;
+    if (l < 8)
+      return g_prices.p0(lenc.choice[0]) + tree_price(lenc.low + (ps << 3), 3, l);
+    if (l < 16)
+      return g_prices.p1(lenc.choice[0]) + g_prices.p0(lenc.choice[1]) +
+             tree_price(lenc.mid + (ps << 3), 3, l - 8);
+    return g_prices.p1(lenc.choice[0]) + g_prices.p1(lenc.choice[1]) +
+           tree_price(lenc.high, 8, l - 16);
+  }
+
+  u32 price_dist(u32 dist, u32 len) const {
+    int slot = pos_slot_of(dist);
+    u32 price = tree_price(pos_slot + (len_state(len) << 6), 6, (u32)slot);
+    if (slot >= 4) {
+      int nd = (slot >> 1) - 1;
+      u32 base = (2u | (slot & 1)) << nd;
+      u32 rest = dist - base;
+      if (slot < 14) {
+        price += tree_rev_price(spec_pos + ((long)base - slot - 1), nd, rest);
+      } else {
+        price += (u32)(nd - 4) << kNumBitPriceShiftBits;
+        price += tree_rev_price(align_p, 4, rest & 15);
+      }
+    }
+    return price;
+  }
+
+  u32 price_literal(const u8* data, size_t pos, int st, u32 rep0v, u32 ps) const {
+    u32 price = g_prices.p0(is_match[(st << 4) + ps]);
+    u8 sym = data[pos];
+    u8 prev = pos ? data[pos - 1] : 0;
+    size_t ctx = (((u32)pos & lp_mask) << lc) + (prev >> (8 - lc));
+    const u16* probs = lit.data() + 0x300 * ctx;
+    u32 m = 1;
+    if (st >= 7) {
+      u8 match_byte = data[pos - rep0v - 1];
+      int i = 7;
+      for (; i >= 0; i--) {
+        int match_bit = (match_byte >> i) & 1;
+        int bit = (sym >> i) & 1;
+        price += g_prices.pb(probs[((1 + match_bit) << 8) + m], bit);
+        m = (m << 1) | bit;
+        if (match_bit != bit) {
+          i--;
+          break;
+        }
+      }
+      for (; i >= 0; i--) {
+        int bit = (sym >> i) & 1;
+        price += g_prices.pb(probs[m], bit);
+        m = (m << 1) | bit;
+      }
+    } else {
+      for (int i = 7; i >= 0; i--) {
+        int bit = (sym >> i) & 1;
+        price += g_prices.pb(probs[m], bit);
+        m = (m << 1) | bit;
+      }
+    }
+    return price;
+  }
+
+  u32 price_shortrep(int st, u32 ps) const {
+    return g_prices.p1(is_match[(st << 4) + ps]) + g_prices.p1(is_rep[st]) +
+           g_prices.p0(is_rep_g0[st]) + g_prices.p0(is_rep0_long[(st << 4) + ps]);
+  }
+
+  u32 price_rep(int st, u32 ps, int r, u32 len) const {
+    u32 price = g_prices.p1(is_match[(st << 4) + ps]) + g_prices.p1(is_rep[st]);
+    if (r == 0) {
+      price += g_prices.p0(is_rep_g0[st]) + g_prices.p1(is_rep0_long[(st << 4) + ps]);
+    } else {
+      price += g_prices.p1(is_rep_g0[st]);
+      if (r == 1) {
+        price += g_prices.p0(is_rep_g1[st]);
+      } else {
+        price += g_prices.p1(is_rep_g1[st]);
+        price += g_prices.pb(is_rep_g2[st], r == 3);
+      }
+    }
+    return price + price_len(rep_len_c, len, ps);
+  }
+
+  u32 price_match(int st, u32 ps, u32 len, u32 dist) const {
+    return g_prices.p1(is_match[(st << 4) + ps]) + g_prices.p0(is_rep[st]) +
+           price_len(len_c, len, ps) + price_dist(dist, len);
+  }
+
+  // match candidates at pos: (len, dist) pairs with strictly increasing
+  // len; the first chain entry reaching a given len is the closest.
+  int collect_matches(const u8* data, size_t n, size_t pos, u32* lens,
+                      u32* dists, int cap) {
+    int cnt = 0;
+    if (pos + 4 > n) return 0;
+    int32_t cand = head[hash4(data + pos)];
+    int d = depth;
+    u32 maxl = (u32)((n - pos < kMaxLen) ? (n - pos) : kMaxLen);
+    u32 best = 1;
+    while (cand >= 0 && d-- > 0 && cnt < cap) {
+      const u8* a = data + pos;
+      const u8* b = data + cand;
+      if (b[best] == a[best]) {
+        u32 l = 0;
+        while (l < maxl && a[l] == b[l]) l++;
+        if (l > best) {
+          lens[cnt] = l;
+          dists[cnt] = (u32)(pos - cand - 1);
+          cnt++;
+          best = l;
+          if (l >= maxl) break;
+        }
+      }
+      cand = prevp[cand];
+    }
+    return cnt;
+  }
+
+  struct Node {
+    u32 price;
+    int back;
+    u32 op_len;    // 1 = single byte; >= 2 = match/rep
+    u32 op_code;   // for len 1: 0 literal, 1 shortrep; for len >= 2:
+                   // 0..3 rep index, >= 4: match with dist = op_code - 4
+    u8 st;
+    u32 reps[4];
+  };
+
+  size_t compress_optimal(const u8* data, size_t n, std::vector<u8>& out,
+                          u32 dict_size) {
+    out.push_back((u8)((pb * 5 + lp) * 9 + lc));
+    for (int i = 0; i < 4; i++) out.push_back((u8)(dict_size >> (8 * i)));
+    for (int i = 0; i < 8; i++) out.push_back(0xFF);
+
+    prevp.assign(n, -1);
+    RangeEncoder rc;
+    rc.out = &out;
+
+    constexpr int W = 2048;
+    std::vector<Node> nodes(W + 1);
+    std::vector<int> path;
+    u32 mlens[64], mdists[64];
+
+    size_t pos = 0;
+    while (pos < n) {
+      int B = (int)((n - pos < (size_t)W) ? (n - pos) : (size_t)W);
+      for (int i = 0; i <= B; i++) nodes[i].price = 0xFFFFFFFFu;
+      nodes[0].price = 0;
+      nodes[0].st = (u8)state;
+      memcpy(nodes[0].reps, reps, sizeof(reps));
+
+      for (int i = 0; i < B; i++) {
+        Node& nd = nodes[i];
+        if (nd.price == 0xFFFFFFFFu) continue;
+        size_t ap = pos + i;
+        u32 ps = (u32)ap & pb_mask;
+        int st = nd.st;
+
+        auto relax = [&](int j, u32 price, u32 op_len, u32 op_code, u8 nst,
+                         const u32* nreps) {
+          if (price < nodes[j].price) {
+            nodes[j].price = price;
+            nodes[j].back = i;
+            nodes[j].op_len = op_len;
+            nodes[j].op_code = op_code;
+            nodes[j].st = nst;
+            memcpy(nodes[j].reps, nreps, 4 * sizeof(u32));
+          }
+        };
+
+        // literal
+        u8 lit_state = st < 4 ? 0 : (st < 10 ? st - 3 : st - 6);
+        relax(i + 1, nd.price + price_literal(data, ap, st, nd.reps[0], ps), 1, 0,
+              lit_state, nd.reps);
+        // shortrep
+        if (ap >= nd.reps[0] + 1 && ap > 0 &&
+            data[ap] == data[ap - nd.reps[0] - 1]) {
+          relax(i + 1, nd.price + price_shortrep(st, ps), 1, 1,
+                (u8)(st < 7 ? 9 : 11), nd.reps);
+        }
+        // rep matches
+        for (int r = 0; r < 4; r++) {
+          u32 L = match_len(data, n, ap, nd.reps[r]);
+          if (L > (u32)(B - i)) L = (u32)(B - i);
+          if (L < 2) continue;
+          u32 nreps[4];
+          u32 dd = nd.reps[r];
+          nreps[0] = dd;
+          nreps[1] = nd.reps[r >= 1 ? 0 : 1];
+          nreps[2] = nd.reps[r >= 2 ? 1 : 2];
+          nreps[3] = nd.reps[r >= 3 ? 2 : 3];
+          u8 nst = (u8)(st < 7 ? 8 : 11);
+          u32 base = nd.price + price_rep(st, ps, r, 2) - price_len(rep_len_c, 2, ps);
+          for (u32 len = 2; len <= L; len++)
+            relax(i + (int)len, base + price_len(rep_len_c, len, ps), len, (u32)r,
+                  nst, nreps);
+        }
+        // normal matches
+        int nc = collect_matches(data, n, ap, mlens, mdists, 64);
+        insert(data, n, ap);
+        u32 prev_len = 1;
+        for (int c = 0; c < nc; c++) {
+          u32 L = mlens[c];
+          u32 dist = mdists[c];
+          if (L > (u32)(B - i)) L = (u32)(B - i);
+          u32 nreps[4] = {dist, nd.reps[0], nd.reps[1], nd.reps[2]};
+          u8 nst = (u8)(st < 7 ? 7 : 10);
+          u32 base = nd.price + g_prices.p1(is_match[(st << 4) + ps]) +
+                     g_prices.p0(is_rep[st]);
+          for (u32 len = prev_len + 1; len <= L; len++) {
+            if (len < 2) continue;
+            relax(i + (int)len,
+                  base + price_len(len_c, len, ps) + price_dist(dist, len), len,
+                  4 + dist, nst, nreps);
+          }
+          prev_len = mlens[c];
+        }
+      }
+
+      // backtrack
+      path.clear();
+      for (int j = B; j > 0; j = nodes[j].back) path.push_back(j);
+
+      // emit forward
+      for (int k = (int)path.size() - 1; k >= 0; k--) {
+        int j = path[k];
+        const Node& nd = nodes[j];
+        size_t ap = pos + (size_t)nd.back;
+        u32 ps = (u32)ap & pb_mask;
+        if (nd.op_len == 1) {
+          if (nd.op_code == 1) {
+            encode_shortrep(rc, ps);
+          } else {
+            rc.encode_bit(is_match, (state << 4) + (int)ps, 0);
+            encode_literal(rc, data, ap);
+          }
+        } else if (nd.op_code < 4) {
+          encode_rep(rc, ps, (int)nd.op_code, nd.op_len);
+        } else {
+          encode_match(rc, ps, nd.op_code - 4, nd.op_len);
+        }
+      }
+      pos += (size_t)B;
+    }
+
+    u32 ps = (u32)pos & pb_mask;
+    rc.encode_bit(is_match, (state << 4) + (int)ps, 1);
+    rc.encode_bit(is_rep, state, 0);
+    len_c.encode(rc, kMinLen, ps);
+    encode_dist(rc, 0xFFFFFFFFu, kMinLen);
+    rc.flush();
+    return out.size();
+  }
+
   size_t compress(const u8* data, size_t n, std::vector<u8>& out, u32 dict_size) {
     out.push_back((u8)((pb * 5 + lp) * 9 + lc));
     for (int i = 0; i < 4; i++) out.push_back((u8)(dict_size >> (8 * i)));
@@ -562,12 +879,18 @@ extern "C" {
 // Returns bytes written, or 0 if out_cap too small / bad params.
 size_t gtm_lzma_compress(const u8* in, size_t in_len, u8* out, size_t out_cap,
                          int lc, int lp, int pb, u32 dict_size, int depth) {
+  // depth > 0: greedy/lazy with that chain depth;
+  // depth < 0: price-based optimal parse with chain depth |depth|.
   if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return 0;
-  if (depth <= 0) depth = 64;
-  Encoder enc(lc, lp, pb, depth);
+  bool optimal = depth < 0;
+  if (depth == 0) depth = 64;
+  Encoder enc(lc, lp, pb, depth < 0 ? -depth : depth);
   std::vector<u8> buf;
   buf.reserve(in_len / 2 + 256);
-  enc.compress(in, in_len, buf, dict_size ? dict_size : (1u << 25));
+  if (optimal)
+    enc.compress_optimal(in, in_len, buf, dict_size ? dict_size : (1u << 25));
+  else
+    enc.compress(in, in_len, buf, dict_size ? dict_size : (1u << 25));
   if (buf.size() > out_cap) return 0;
   memcpy(out, buf.data(), buf.size());
   return buf.size();

@@ -63,7 +63,8 @@ def get_lib():
 
 
 def lzma_compress(data: bytes, lc: int = 8, lp: int = 0, pb: int = 2,
-                  dict_size: int = 1 << 25, depth: int = 64) -> bytes:
+                  dict_size: int = 1 << 25, depth: int = -48) -> bytes:
+    """depth > 0: greedy/lazy; depth < 0: optimal parse, chain |depth|."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native lzma unavailable")
