@@ -4,11 +4,9 @@ re-rank. Replaces ANN_short.dll kd-tree queries (extern.pas:182-185) with
 exact distributed brute force."""
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 

@@ -9,7 +9,6 @@ becomes one vectorized correlation over consecutive frame pairs.
 """
 from __future__ import annotations
 
-import functools
 from typing import List, Optional
 
 import jax
@@ -20,7 +19,7 @@ from ..config import EncoderSettings
 from ..models.state import EncodeState, KeyFrameInfo, TileMapSoA
 from ..ops.color import rgb_to_lab
 from ..ops.metrics import pearson
-from ..ops.tiles import canonicalize, frame_to_tiles, pad_frame
+from ..ops.tiles import canonicalize, pad_frame
 
 TILE_W = 8
 
