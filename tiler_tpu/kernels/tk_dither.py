@@ -1,21 +1,22 @@
-"""Pallas TPU kernel: Thomas Knoll mixing-plan construction.
+"""Pallas TPU kernel: Thomas Knoll dithering, fully fused.
 
 The TK ditherer runs a 64-step error-feedback loop per pixel, each step
 scanning the pixel's palette (DeviseBestMixingPlanThomasKnoll,
-tilingencoder.pas:2565-2620). The XLA lax.scan formulation re-reads a
-[pixels, S, 3] palette expansion from HBM on every step (64x traffic).
-This kernel pins each block's palette in VMEM/registers and keeps the
-entire 64-step loop on-chip: pixels are pre-sorted by palette so each
-grid block serves ONE palette, delivered via scalar prefetch.
+tilingencoder.pas:2565-2620), then picks the Bayer-rank element of the
+luma-sorted 64-entry list (DitherTile, :2705-2709). The XLA formulation
+re-reads a [pixels, S, 3] palette expansion from HBM on every step and
+argsorts a [pixels, 64] array; this kernel keeps everything on-chip:
 
-Layout:
-  - pixels [4, Mpad] int32 channel-major (r, g, b, bayer-rank), Mpad a
-    multiple of the block size; blocks padded per palette.
-  - pal_table [P, S, 8] int32: r, g, b, luma/1000? no — luma (full
-    integer scale), valid flag, padding.
-  - per-block palette ids [nblk] int32 (scalar prefetch).
-Outputs lists+lumas [nblk, 64, BLK]; the luma-rank selection happens
-outside (argsort over 64 is cheap relative to the loop).
+  - pixels are pre-sorted by palette so each grid block serves ONE
+    palette (scalar prefetch), hoisted into registers for all 64 steps;
+  - the candidate list lives in VMEM scratch;
+  - the luma-rank selection happens in-kernel via rank counting
+    (strictly-less + equal-with-lower-index, i.e. a stable sort's rank),
+    so the only HBM output is the selected palette index per pixel.
+
+Layout: pixels [4, Mpad] int32 channel-major (r, g, b, bayer-rank),
+Mpad a multiple of BLK, runs padded per palette; pal_table [P, S, 8]
+int32 (r, g, b, luma, valid, pad...).
 """
 from __future__ import annotations
 
@@ -37,90 +38,104 @@ def _trunc_div(a, b: int):
     return jnp.sign(a) * (jnp.abs(a) // b)
 
 
-def _kernel(S: int, pal_ids_ref, pix_ref, pal_ref, lists_ref, lums_ref):
-    pid = pl.program_id(0)
-    pal = pal_ids_ref[pid]
+def _make_kernel(S: int):
+    def kern(pal_ids_ref, pix_ref, pal_ref, sel_ref, lists_scr, lums_scr):
+        pid = pl.program_id(0)
+        pal = pal_ids_ref[pid]
 
-    # hoist the block's palette into scalars (loop-invariant registers)
-    CR = [pal_ref[pal, s, 0] for s in range(S)]
-    CG = [pal_ref[pal, s, 1] for s in range(S)]
-    CB = [pal_ref[pal, s, 2] for s in range(S)]
-    CL = [pal_ref[pal, s, 3] for s in range(S)]
-    CV = [pal_ref[pal, s, 4] for s in range(S)]
+        # hoist the block's palette into scalars (loop-invariant registers)
+        CR = [pal_ref[pal, s, 0] for s in range(S)]
+        CG = [pal_ref[pal, s, 1] for s in range(S)]
+        CB = [pal_ref[pal, s, 2] for s in range(S)]
+        CL = [pal_ref[pal, s, 3] for s in range(S)]
+        CV = [pal_ref[pal, s, 4] for s in range(S)]
 
-    sr = pix_ref[0, :]
-    sg = pix_ref[1, :]
-    sb = pix_ref[2, :]
+        sr = pix_ref[0, 0]  # [8, 128]
+        sg = pix_ref[1, 0]
+        sb = pix_ref[2, 0]
+        mapv = pix_ref[3, 0]
 
-    def step(c, carry):
-        er, eg, eb = carry
-        tr = sr + _trunc_div(er * 9, 100)
-        tg = sg + _trunc_div(eg * 9, 100)
-        tb = sb + _trunc_div(eb * 9, 100)
-        lum_t = tr * RED_MUL + tg * GREEN_MUL + tb * BLUE_MUL
+        def step(c, carry):
+            er, eg, eb = carry
+            tr = sr + _trunc_div(er * 9, 100)
+            tg = sg + _trunc_div(eg * 9, 100)
+            tb = sb + _trunc_div(eb * 9, 100)
+            lum_t = tr * RED_MUL + tg * GREEN_MUL + tb * BLUE_MUL
 
-        best_pen = jnp.full_like(sr, BIG)
-        best_idx = jnp.zeros_like(sr)
-        best_r = jnp.zeros_like(sr)
-        best_g = jnp.zeros_like(sr)
-        best_b = jnp.zeros_like(sr)
-        best_lum = jnp.zeros_like(sr)
-        for s in range(S):
-            dr, dg, db = tr - CR[s], tg - CG[s], tb - CB[s]
-            ld = _trunc_div(lum_t - CL[s], LUMA_DIV)
-            pen = (dr * dr + dg * dg + db * db) * RGB_W + ld * ld * 32
-            pen = jnp.where(CV[s] > 0, pen, BIG)
-            upd = pen < best_pen
-            best_pen = jnp.where(upd, pen, best_pen)
-            best_idx = jnp.where(upd, s, best_idx)
-            best_r = jnp.where(upd, CR[s], best_r)
-            best_g = jnp.where(upd, CG[s], best_g)
-            best_b = jnp.where(upd, CB[s], best_b)
-            best_lum = jnp.where(upd, CL[s], best_lum)
+            best_pen = jnp.full_like(sr, BIG)
+            best_idx = jnp.zeros_like(sr)
+            best_r = jnp.zeros_like(sr)
+            best_g = jnp.zeros_like(sr)
+            best_b = jnp.zeros_like(sr)
+            best_lum = jnp.zeros_like(sr)
+            for s in range(S):
+                dr, dg, db = tr - CR[s], tg - CG[s], tb - CB[s]
+                ld = _trunc_div(lum_t - CL[s], LUMA_DIV)
+                pen = (dr * dr + dg * dg + db * db) * RGB_W + ld * ld * 32
+                pen = jnp.where(CV[s] > 0, pen, BIG)
+                upd = pen < best_pen
+                best_pen = jnp.where(upd, pen, best_pen)
+                best_idx = jnp.where(upd, s, best_idx)
+                best_r = jnp.where(upd, CR[s], best_r)
+                best_g = jnp.where(upd, CG[s], best_g)
+                best_b = jnp.where(upd, CB[s], best_b)
+                best_lum = jnp.where(upd, CL[s], best_lum)
 
-        lists_ref[0, c, :] = best_idx
-        lums_ref[0, c, :] = best_lum
-        return sr - best_r + er, sg - best_g + eg, sb - best_b + eb
+            lists_scr[c] = best_idx
+            lums_scr[c] = best_lum
+            return sr - best_r + er, sg - best_g + eg, sb - best_b + eb
 
-    zero = jnp.zeros_like(sr)
-    jax.lax.fori_loop(0, STEPS, step, (zero, zero, zero), unroll=False)
+        zero = jnp.zeros_like(sr)
+        jax.lax.fori_loop(0, STEPS, step, (zero, zero, zero), unroll=False)
+
+        # in-kernel luma-rank selection: the map_value-th entry of the
+        # stable luma sort = entry whose (strictly-less count + equal-with-
+        # lower-index count) equals map_value.
+        all_lums = lums_scr[:, :, :]  # [64, 8, 128]
+
+        def pick(i, sel):
+            lum_i = lums_scr[i]
+            less = jnp.sum((all_lums < lum_i[None]).astype(jnp.int32), axis=0)
+            row = jax.lax.broadcasted_iota(jnp.int32, (STEPS, 1, 1), 0)
+            eq_before = jnp.sum(
+                ((all_lums == lum_i[None]) & (row < i)).astype(jnp.int32), axis=0
+            )
+            rank = less + eq_before
+            return jnp.where(rank == mapv, lists_scr[i], sel)
+
+        sel = jax.lax.fori_loop(0, STEPS, pick, jnp.zeros_like(sr))
+        sel_ref[0] = sel
+
+    return kern
 
 
 @functools.partial(jax.jit, static_argnames=("S", "interpret"))
-def tk_plan_lists(pix4, block_pal, pal_table, S: int, interpret: bool = False):
-    """pix4 [4, Mpad] int32 (Mpad % BLK == 0, channel-major, sorted by
-    palette); block_pal [Mpad//BLK] int32; pal_table [P, S, 8] int32
-    (r,g,b,luma,valid,...). Returns (lists, lums) [Mpad, 64] int32."""
+def tk_select(pix4, block_pal, pal_table, S: int, interpret: bool = False):
+    """pix4 [4, Mpad] int32 (r,g,b,bayer; sorted by palette, Mpad % BLK == 0);
+    block_pal [Mpad//BLK] int32; pal_table [P, S, 8] int32.
+    Returns selected palette slot per pixel [Mpad] int32."""
     mpad = pix4.shape[1]
     nblk = mpad // BLK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((4, BLK), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 1, 8, 128), lambda i, *_: (0, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(pal_table.shape, lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, STEPS, BLK), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, STEPS, BLK), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((STEPS, 8, 128), jnp.int32),
+            pltpu.VMEM((STEPS, 8, 128), jnp.int32),
         ],
     )
-
-    def kern(pal_ids_ref, pix_ref, pal_ref, lists_ref, lums_ref):
-        _kernel(S, pal_ids_ref, pix_ref, pal_ref, lists_ref, lums_ref)
-
-    lists, lums = pl.pallas_call(
-        kern,
-        out_shape=(
-            jax.ShapeDtypeStruct((nblk, STEPS, BLK), jnp.int32),
-            jax.ShapeDtypeStruct((nblk, STEPS, BLK), jnp.int32),
-        ),
+    sel = pl.pallas_call(
+        _make_kernel(S),
+        out_shape=jax.ShapeDtypeStruct((nblk, 8, 128), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(block_pal, pix4, pal_table)
-    lists = lists.transpose(0, 2, 1).reshape(mpad, STEPS)
-    lums = lums.transpose(0, 2, 1).reshape(mpad, STEPS)
-    return lists, lums
+    )(block_pal, pix4.reshape(4, nblk, 8, 128), pal_table)
+    return sel.reshape(mpad)
 
 
 def tk_dither_pallas(tiles_rgb_u8, pal_initial, pal_rgb, pal_valid, bayer,
@@ -155,6 +170,7 @@ def tk_dither_pallas(tiles_rgb_u8, pal_initial, pal_rgb, pal_valid, bayer,
 
     pix4 = jnp.zeros((4, mpad), jnp.int32)
     pix4 = pix4.at[:3].set(jnp.where(valid_pos[None], pix[gather].T, 0))
+    pix4 = pix4.at[3].set(jnp.where(valid_pos, mapv[gather], 0))
     block_pal = q[::BLK].astype(jnp.int32)
 
     lum = (
@@ -165,13 +181,8 @@ def tk_dither_pallas(tiles_rgb_u8, pal_initial, pal_rgb, pal_valid, bayer,
     table = table.at[..., 3].set(lum.astype(jnp.int32))
     table = table.at[..., 4].set(jnp.asarray(pal_valid, jnp.int32))
 
-    lists, lums = tk_plan_lists(pix4, block_pal, table, S, interpret=interpret)
+    sel_sorted = tk_select(pix4, block_pal, table, S, interpret=interpret)
 
-    # luma-rank selection at the pixel's Bayer value, then unsort
-    ordr = jnp.argsort(lums, axis=1, stable=True)
-    slists = jnp.take_along_axis(lists, ordr, axis=1)
-    mapv_sorted = mapv[gather]
-    sel_sorted = jnp.take_along_axis(slists, mapv_sorted[:, None], axis=1)[:, 0]
     # scatter back; padding slots write to a trash slot M
     tgt = jnp.where(valid_pos, gather, M)
     out = jnp.zeros(M + 1, jnp.int32).at[tgt].set(sel_sorted)[:M]
