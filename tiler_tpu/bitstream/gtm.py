@@ -320,32 +320,45 @@ class GTMWriter:
         body = bytearray()
         z = bytearray()
         z += self._prologue(tiles_pal, use_counts, palettes_rgb, palettes_valid)
-        kf_infos = []
-        kf_idx = 0
-        last_kf = 0
-        avg_accum = 0
-        kf_max_bps = 0
+        payloads = []  # raw per-keyframe payloads; compressed in parallel
         for i, fr in enumerate(frames):
             z += self._frame_bytes(fr, tiles_pal, use_counts, bool(keyframe_end[i]))
             if keyframe_end[i]:
-                comp = lzma_codec.compress(bytes(z), lc=self.lc)
-                kf_frames = i - last_kf + 1
-                kf_infos.append(
-                    dict(
-                        kf_index=kf_idx,
-                        frame_index=kf_starts[kf_idx],
-                        raw_size=len(z),
-                        compressed_size=len(comp),
-                        time_ms=round(1000.0 * kf_starts[kf_idx] / self.fps),
-                    )
-                )
-                if kf_idx > 0 or n_kf == 1:
-                    kf_max_bps = max(kf_max_bps, round(len(comp) * self.fps / kf_frames))
-                avg_accum += len(comp)
-                body += comp
-                last_kf = i + 1
-                kf_idx += 1
+                payloads.append(bytes(z))
                 z = bytearray()
+
+        # per-keyframe LZMA streams are independent: compress concurrently
+        # (the reference serializes through one thread; SaveStream :5452)
+        if len(payloads) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(payloads))) as ex:
+                comps = list(ex.map(lambda p: lzma_codec.compress(p, lc=self.lc), payloads))
+        else:
+            comps = [lzma_codec.compress(p, lc=self.lc) for p in payloads]
+
+        kf_infos = []
+        last_kf = 0
+        avg_accum = 0
+        kf_max_bps = 0
+        kf_ends = [i for i in range(n_frames) if keyframe_end[i]]
+        for kf_idx, (payload, comp) in enumerate(zip(payloads, comps)):
+            i = kf_ends[kf_idx]
+            kf_frames = i - last_kf + 1
+            kf_infos.append(
+                dict(
+                    kf_index=kf_idx,
+                    frame_index=kf_starts[kf_idx],
+                    raw_size=len(payload),
+                    compressed_size=len(comp),
+                    time_ms=round(1000.0 * kf_starts[kf_idx] / self.fps),
+                )
+            )
+            if kf_idx > 0 or n_kf == 1:
+                kf_max_bps = max(kf_max_bps, round(len(comp) * self.fps / kf_frames))
+            avg_accum += len(comp)
+            body += comp
+            last_kf = i + 1
 
         avg_bps = round(avg_accum * self.fps / n_frames)
         header = struct.pack(

@@ -18,7 +18,7 @@ from ..ops.metrics import euclidean_to_psnr
 from .motion import motion_search_batch
 
 
-def _frame_chunk(H: int, W: int, budget_bytes: float = 2e9) -> int:
+def _frame_chunk(H: int, W: int, budget_bytes: float = 4e9) -> int:
     """Frames per dispatch, bounded by the window-DCT field footprint."""
     per_frame = H * W * 192 * 4 * 3  # field + phase view + err headroom
     return max(1, int(budget_bytes / per_frame))
@@ -34,12 +34,18 @@ def predict_motion(state: EncodeState, settings: EncoderSettings) -> EncodeState
     frames = state.frames_rgb
     refs = np.concatenate([[1], np.arange(F - 1)])  # frame 0 predicts from 1
     chunk = _frame_chunk(state.height, state.width)
+    outs = []  # keep results on device; sync ONCE at the end (the tunnel
+    # round-trip per dispatch costs more than the compute)
     for i in range(0, F, chunk):
         j = min(F, i + chunk)
         oy, ox, err = motion_search_batch(
             jnp.asarray(frames[i:j]), jnp.asarray(frames[refs[i:j]]), R
         )
-        tm.pred_y[i:j] = np.asarray(oy).reshape(j - i, N)
-        tm.pred_x[i:j] = np.asarray(ox).reshape(j - i, N)
-        tm.psnr[i:j] = np.asarray(euclidean_to_psnr(err)).reshape(j - i, N)
+        outs.append((oy, ox, euclidean_to_psnr(err)))
+    oy = np.concatenate([np.asarray(o[0]).reshape(-1, N) for o in outs])
+    ox = np.concatenate([np.asarray(o[1]).reshape(-1, N) for o in outs])
+    ps = np.concatenate([np.asarray(o[2]).reshape(-1, N) for o in outs])
+    tm.pred_y[:] = oy
+    tm.pred_x[:] = ox
+    tm.psnr[:] = ps
     return state

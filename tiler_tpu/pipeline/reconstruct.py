@@ -100,11 +100,22 @@ def _topk_candidates(feats, ds, k: int, chunk: int):
         c2 = jax.lax.dynamic_slice(d2pad, (i * chunk,), (chunk,))
         d = f2 - 2.0 * jnp.matmul(fb, c.T, preferred_element_type=jnp.float32) + c2[None, :]
         d = jnp.where((i * chunk + jnp.arange(chunk))[None, :] < T, d, jnp.inf)
-        allerr = jnp.concatenate([best_err, d], axis=1)
         cidx = (i * chunk + jnp.arange(chunk)).astype(jnp.int32)
-        allidx = jnp.concatenate([best_idx, cidx[None, :].repeat(N, 0)], axis=1)
-        negerr, sel = jax.lax.top_k(-allerr, k)
-        return (-negerr, jnp.take_along_axis(allidx, sel, axis=1)), None
+        if k == 1:
+            a = jnp.argmin(d, axis=1)
+            e = jnp.take_along_axis(d, a[:, None], axis=1)
+            better = e < best_err
+            return (
+                jnp.where(better, e, best_err),
+                jnp.where(better, cidx[a][:, None], best_idx),
+            ), None
+        # TPU-optimized approximate top-k for the candidate stage (the
+        # kd-tree being replaced was approximate; EPU re-ranks exactly)
+        nege, sel = jax.lax.approx_max_k(-d, k, recall_target=0.95)
+        allerr = jnp.concatenate([best_err, -nege], axis=1)
+        allidx = jnp.concatenate([best_idx, cidx[sel]], axis=1)
+        negerr, sel2 = jax.lax.top_k(-allerr, k)
+        return (-negerr, jnp.take_along_axis(allidx, sel2, axis=1)), None
 
     init = (jnp.full((N, k), jnp.inf), jnp.zeros((N, k), jnp.int32))
     (err, idx), _ = jax.lax.scan(body, init, jnp.arange(nchunks))
@@ -195,6 +206,7 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
     # frame group size bounded by feats + topk footprint
     group = max(1, int(4e8 / (N * (192 * 4 + kk * kk * 4))))
     corpus_chunk = min(settings.corpus_chunk, max(256, T))
+    dev_outs = []  # dispatch all groups, sync once at the end
     for f0 in range(0, F, group):
         f1 = min(F, f0 + group)
         tiles = jnp.asarray(state.tiles_canon[f0:f1], jnp.float32)
@@ -209,9 +221,7 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
         if not epu:
             d = feats - dsj[idx[:, 0]]
             exact = jnp.sum(d * d, axis=1)
-            best_tile[f0:f1] = np.asarray(idx[:, 0]).reshape(f1 - f0, N)
-            best_pal[f0:f1] = np.asarray(pal_initial[idx[:, 0]]).reshape(f1 - f0, N)
-            best_err[f0:f1] = np.asarray(exact).reshape(f1 - f0, N)
+            dev_outs.append((idx[:, 0], pal_initial[idx[:, 0]], exact))
         else:
             cand_idx = jnp.sort(idx, axis=1)
             cand_pal = jnp.sort(pal_initial[idx], axis=1)
@@ -222,9 +232,14 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
                 cell_chunk=cell_chunk,
             )
             e = _exact_choice_err(feats, t, p, pp_dev, palettes_dev)
-            best_tile[f0:f1] = np.asarray(t).reshape(f1 - f0, N)
-            best_pal[f0:f1] = np.asarray(p).reshape(f1 - f0, N)
-            best_err[f0:f1] = np.asarray(e).reshape(f1 - f0, N)
+            dev_outs.append((t, p, e))
+    row = 0
+    for t, p, e in dev_outs:
+        g = t.shape[0] // N
+        best_tile[row : row + g] = np.asarray(t).reshape(g, N)
+        best_pal[row : row + g] = np.asarray(p).reshape(g, N)
+        best_err[row : row + g] = np.asarray(e).reshape(g, N)
+        row += g
     return best_tile, best_pal, best_err
 
 
