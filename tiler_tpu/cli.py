@@ -52,6 +52,12 @@ def cmd_encode(args):
 
         frames = GTMDecoder(settings.output_file_name).decode_frames()
         write_y4m(args.export_y4m, [f[..., :3] for f in frames], enc.state.fps)
+    if args.export_input_y4m:
+        import numpy as np
+
+        from .io.export import write_y4m
+
+        write_y4m(args.export_input_y4m, np.asarray(enc.state.frames_rgb), enc.state.fps)
     if args.export_pngs:
         from .bitstream.gtm import GTMDecoder
         from .io.export import write_pngs
@@ -145,6 +151,7 @@ def main(argv=None):
     e.add_argument("--quality", type=float)
     e.add_argument("--frames", type=int)
     e.add_argument("--export-y4m")
+    e.add_argument("--export-input-y4m")  # GenerateY4M(AInput=True) parity
     e.add_argument("--export-pngs")
     e.set_defaults(fn=cmd_encode)
 

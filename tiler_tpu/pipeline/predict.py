@@ -18,7 +18,7 @@ from ..ops.metrics import euclidean_to_psnr
 from .motion import motion_search_batch
 
 
-def _frame_chunk(H: int, W: int, budget_bytes: float = 4e9) -> int:
+def _frame_chunk(H: int, W: int, budget_bytes: float = 6e9) -> int:
     """Frames per dispatch, bounded by the window-DCT field footprint."""
     per_frame = H * W * 192 * 4 * 3  # field + phase view + err headroom
     return max(1, int(budget_bytes / per_frame))
