@@ -145,3 +145,54 @@ def test_reload_gtm_roundtrip(encoded, tmp_path):
     enc3.load_frames(clip[:3], fps=25.0)  # wrong frame count
     with pytest.raises(GTMReloadError):
         enc3.reload_gtm(path)
+
+
+def test_yliluoma_pipeline(tmp_path):
+    """e2e with the Yliluoma2 ditherer (DitheringUseThomasKnoll=0 path)."""
+    s = _settings()
+    s.dithering_use_thomas_knoll = False
+    s.dithering_yliluoma2_mixed_colors = 4
+    clip = synthetic_clip(F=4)
+    enc = Encoder(s, log=lambda *a: None)
+    p = tmp_path / "yli.gtm"
+    enc.run_all(clip, fps=24.0, out_path=str(p))
+    frames = GTMDecoder(str(p)).decode_frames()
+    assert len(frames) == 4
+    assert _psnr_rgb(np.stack(frames)[..., :3], clip) > 18.0
+
+
+def test_wavelet_dither_mode(tmp_path):
+    """e2e with pvsWavelets dithering features (palettization mode)."""
+    s = _settings()
+    s.dithering_mode = "wavelets"
+    clip = synthetic_clip(F=3)
+    enc = Encoder(s, log=lambda *a: None)
+    p = tmp_path / "wav.gtm"
+    enc.run_all(clip, fps=24.0, out_path=str(p))
+    assert len(GTMDecoder(str(p)).decode_frames()) == 3
+
+
+def test_no_motion_radius_zero(tmp_path):
+    """radius 0 disables prediction entirely (PredictMotion early-out,
+    tilingencoder.pas:1972; Reconstruct ARadius<0 gate :1437)."""
+    s = _settings()
+    s.motion_predict_radius = 0
+    clip = synthetic_clip(F=3)
+    enc = Encoder(s, log=lambda *a: None)
+    p = tmp_path / "nomotion.gtm"
+    enc.run_all(clip, fps=24.0, out_path=str(p))
+    assert not enc.state.tilemap.predicted.any()
+    assert len(GTMDecoder(str(p)).decode_frames()) == 3
+
+
+def test_target_psnr_mode(tmp_path):
+    """GlobalTilingUseTargetPSNR drives the threshold directly
+    (Reduce, tilingencoder.pas:1915-1918)."""
+    s = _settings()
+    s.global_tiling_use_target_psnr = True
+    s.global_tiling_target_psnr = 30.0
+    clip = synthetic_clip(F=4)
+    enc = Encoder(s, log=lambda *a: None)
+    p = tmp_path / "tpsnr.gtm"
+    enc.run_all(clip, fps=24.0, out_path=str(p))
+    assert len(GTMDecoder(str(p)).decode_frames()) == 4
