@@ -196,3 +196,20 @@ def test_target_psnr_mode(tmp_path):
     p = tmp_path / "tpsnr.gtm"
     enc.run_all(clip, fps=24.0, out_path=str(p))
     assert len(GTMDecoder(str(p)).decode_frames()) == 4
+
+
+def test_host_resident_streaming_mode(tmp_path):
+    """Videos beyond the HBM budget keep frames/tiles in host RAM and
+    stream per chunk / per keyframe; output must match the device-resident
+    encode byte for byte."""
+    clip = synthetic_clip(F=6)
+    p1 = tmp_path / "dev.gtm"
+    enc1 = Encoder(_settings(), log=lambda *a: None)
+    enc1.run_all(clip, fps=24.0, out_path=str(p1))
+
+    s2 = _settings()
+    s2.hbm_frames_budget = 1  # force host-resident
+    p2 = tmp_path / "host.gtm"
+    enc2 = Encoder(s2, log=lambda *a: None)
+    enc2.run_all(clip, fps=24.0, out_path=str(p2))
+    assert open(p1, 'rb').read() == open(p2, 'rb').read()

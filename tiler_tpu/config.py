@@ -53,6 +53,7 @@ class EncoderSettings:
     corpus_chunk: int = 8192  # corpus matmul chunk for KNN
     seed: int = 0x42381337  # CRandomSeed (extern.pas:226)
     use_pallas_tk: bool = True  # Pallas Thomas Knoll kernel (falls back to XLA)
+    hbm_frames_budget: float = 8e9  # larger videos stream from host RAM
 
     def derived_tile_count(self, total_raw_tiles: int) -> int:
         """GlobalTilingTileCount resolution (tilingencoder.pas:2937-2948)."""

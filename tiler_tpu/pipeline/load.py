@@ -57,21 +57,31 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
     state.fps = float(fps)
     state.tilemap_h = H // TILE_W
     state.tilemap_w = W // TILE_W
-    state.frames_rgb = jnp.asarray(frames_rgb)  # one h2d; device-resident
     N = state.tilemap_size
 
-    tiles_dev = []
+    # videos beyond the HBM budget stream from host RAM instead (the
+    # reference's zlib in-RAM memory folding, tilingencoder.pas:1081-1152;
+    # stages slice and transfer per chunk / per keyframe)
+    total_bytes = frames_rgb.nbytes + F * N * 192
+    device_resident = total_bytes <= getattr(settings, "hbm_frames_budget", 8e9)
+    if device_resident:
+        state.frames_rgb = jnp.asarray(frames_rgb)  # one h2d
+    else:
+        state.frames_rgb = frames_rgb
+
+    tiles_parts = []
     hm = np.empty((F, N), bool)
     vm = np.empty((F, N), bool)
     lab = np.empty((F, N * 3), np.float32)
     for i in range(0, F, chunk):
-        tc, h, v, ml = _load_chunk(state.frames_rgb[i : i + chunk])
-        tiles_dev.append(tc)
+        tc, h, v, ml = _load_chunk(jnp.asarray(state.frames_rgb[i : i + chunk]))
+        tiles_parts.append(tc if device_resident else np.asarray(tc))
         hm[i : i + chunk] = np.asarray(h)
         vm[i : i + chunk] = np.asarray(v)
         lab[i : i + chunk] = np.asarray(ml, np.float32).reshape(len(ml), -1)
 
-    state.tiles_canon = tiles_dev[0] if len(tiles_dev) == 1 else jnp.concatenate(tiles_dev)
+    cat = jnp.concatenate if device_resident else np.concatenate
+    state.tiles_canon = tiles_parts[0] if len(tiles_parts) == 1 else cat(tiles_parts)
     tm = TileMapSoA.zeros(F, N)
     tm.hmirror = hm
     tm.vmirror = vm

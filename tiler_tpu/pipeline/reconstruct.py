@@ -322,26 +322,50 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
 
     knn_tile, knn_pal, knn_err = _knn_phase(state, settings, mesh=mesh)
 
-    kf_start = np.zeros(F, bool)
-    for kf in state.keyframes:
-        kf_start[kf.start_frame] = True
+    # phase B runs per keyframe: keyframes are independent (a KF-start
+    # frame never predicts, :1496), which bounds device memory to one
+    # KF's frames and lets long videos stream from host RAM. KF slices
+    # pad to power-of-two lengths so scan shapes (and compiles) are shared.
+    pp_dev = jnp.asarray(state.corpus_pal_pixels)
+    pal_dev = jnp.asarray(state.palettes_rgb)
+    kt_dev = jnp.asarray(knn_tile)
+    kp_dev = jnp.asarray(knn_pal)
+    ke_dev = jnp.asarray(knn_err)
+    hm_dev = jnp.asarray(tm.hmirror)
+    vm_dev = jnp.asarray(tm.vmirror)
 
-    oy, ox, use_pred, cell_err = _phase_b_scan(
-        jnp.asarray(state.frames_rgb),
-        jnp.asarray(knn_tile),
-        jnp.asarray(knn_pal),
-        jnp.asarray(knn_err),
-        jnp.asarray(tm.hmirror),
-        jnp.asarray(tm.vmirror),
-        jnp.asarray(kf_start),
-        jnp.asarray(state.corpus_pal_pixels),
-        jnp.asarray(state.palettes_rgb),
-        R, th, tw,
-    )
-    oy = np.asarray(oy)
-    ox = np.asarray(ox)
-    use_pred = np.asarray(use_pred)
-    cell_err = np.asarray(cell_err)
+    def _bucket(n):
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+
+    host_frames = isinstance(state.frames_rgb, np.ndarray)
+    outs = []
+    for kf in state.keyframes:
+        s0, s1 = kf.start_frame, kf.end_frame + 1
+        L = s1 - s0
+        Lp = _bucket(L)
+        idxs = np.minimum(np.arange(Lp) + s0, s1 - 1)
+        kf_start_v = np.zeros(Lp, bool)
+        kf_start_v[0] = True
+        idx_dev = jnp.asarray(idxs.astype(np.int32))
+        if host_frames:  # stream one keyframe's frames from host RAM
+            fr_slice = jnp.asarray(state.frames_rgb[idxs])
+        else:
+            fr_slice = state.frames_rgb[idx_dev]
+        res = _phase_b_scan(
+            fr_slice,
+            kt_dev[idx_dev], kp_dev[idx_dev], ke_dev[idx_dev],
+            hm_dev[idx_dev], vm_dev[idx_dev],
+            jnp.asarray(kf_start_v),
+            pp_dev, pal_dev, R, th, tw,
+        )
+        outs.append((L, res))
+    oy = np.concatenate([np.asarray(r[0])[:L] for L, r in outs])
+    ox = np.concatenate([np.asarray(r[1])[:L] for L, r in outs])
+    use_pred = np.concatenate([np.asarray(r[2])[:L] for L, r in outs])
+    cell_err = np.concatenate([np.asarray(r[3])[:L] for L, r in outs])
 
     tm.predicted = use_pred
     tm.pred_y = oy.astype(np.int16)

@@ -62,7 +62,16 @@ def reduce_tiles(state: EncodeState, settings: EncoderSettings) -> EncodeState:
     eff = np.where(kf_start[:, None], psnr / 10.0, psnr)
     eff_flat = eff.reshape(-1)
 
-    h1, h2 = _tile_hashes(state.tiles_canon)
+    if isinstance(state.tiles_canon, np.ndarray):  # host-resident mode
+        parts = []
+        flat_tiles = state.tiles_canon.reshape(-1, 8, 8, 3)
+        for i in range(0, len(flat_tiles), 262144):
+            hh1, hh2 = _tile_hashes(jnp.asarray(flat_tiles[i : i + 262144]))
+            parts.append((np.asarray(hh1), np.asarray(hh2)))
+        h1 = np.concatenate([p[0] for p in parts])
+        h2 = np.concatenate([p[1] for p in parts])
+    else:
+        h1, h2 = _tile_hashes(state.tiles_canon)
     key = (np.asarray(h1).astype(np.int64).reshape(-1) << 32) ^ (
         np.asarray(h2).astype(np.int64).reshape(-1) & 0xFFFFFFFF
     )
@@ -99,8 +108,13 @@ def reduce_tiles(state: EncodeState, settings: EncoderSettings) -> EncodeState:
     rank[order] = np.arange(len(order))
 
     rep_flat = first_idx[used_unique][order].astype(np.int32)
-    tiles_flat = state.tiles_canon.reshape(F * N, 8, 8, 3)
-    state.corpus_rgb = _gather_tiles(tiles_flat, jnp.asarray(rep_flat))  # device
+    if isinstance(state.tiles_canon, np.ndarray):  # host-resident mode
+        state.corpus_rgb = jnp.asarray(
+            state.tiles_canon.reshape(F * N, 8, 8, 3)[rep_flat]
+        )
+    else:
+        tiles_flat = state.tiles_canon.reshape(F * N, 8, 8, 3)
+        state.corpus_rgb = _gather_tiles(tiles_flat, jnp.asarray(rep_flat))
     state.corpus_use = counts[order]
     tile_idx = np.full(F * N, -1, np.int64)
     tile_idx[sel] = rank[sel_to_corpus]
