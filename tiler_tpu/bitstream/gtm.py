@@ -165,6 +165,11 @@ class GTMWriter:
         vm = np.asarray(fr.vmirror, bool).astype(np.int64)
         assert predicted.shape == (N,)
 
+        # long-offset commands carry signed bytes (tilingencoder.pas:5213-5214)
+        if predicted.any():
+            pv = np.concatenate([px[predicted], py[predicted]])
+            assert pv.min() >= -128 and pv.max() <= 127, "motion offsets exceed int8"
+
         smoothed = predicted & (px == 0) & (py == 0)
 
         # --- skip-block segmentation (SaveStream :5394-5437) ---
