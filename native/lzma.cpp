@@ -559,6 +559,50 @@ struct Encoder {
     u32 reps[4];
   };
 
+  // per-block price caches (probabilities drift slowly; refreshing per
+  // 2K window is the standard LzmaEnc approach)
+  u32 len_price_tab[16][kMaxLen + 1];
+  u32 rep_len_price_tab[16][kMaxLen + 1];
+  u32 slot_price_tab[4][64];
+  u32 spec_price_tab[4][128];  // distances < 128 fully cached per len-state
+  u32 align_price_tab[16];
+
+  void refresh_price_tables() {
+    int nps = 1 << pb;
+    for (int ps = 0; ps < nps; ps++)
+      for (u32 len = kMinLen; len <= kMaxLen; len++) {
+        len_price_tab[ps][len] = price_len(len_c, len, (u32)ps);
+        rep_len_price_tab[ps][len] = price_len(rep_len_c, len, (u32)ps);
+      }
+    for (int ls = 0; ls < 4; ls++)
+      for (u32 slot = 0; slot < 64; slot++)
+        slot_price_tab[ls][slot] = tree_price(pos_slot + (ls << 6), 6, slot);
+    for (u32 a = 0; a < 16; a++)
+      align_price_tab[a] = tree_rev_price(align_p, 4, a);
+    for (int ls = 0; ls < 4; ls++)
+      for (u32 dist = 0; dist < 128; dist++) {
+        int slot = pos_slot_of(dist);
+        u32 price = slot_price_tab[ls][slot];
+        if (slot >= 4) {
+          int nd = (slot >> 1) - 1;
+          u32 base = (2u | (slot & 1)) << nd;
+          price += tree_rev_price(spec_pos + ((long)base - slot - 1), nd,
+                                  dist - base);
+        }
+        spec_price_tab[ls][dist] = price;
+      }
+  }
+
+  inline u32 price_dist_cached(u32 dist, u32 len) const {
+    int ls = len_state(len);
+    if (dist < 128) return spec_price_tab[ls][dist];
+    int slot = pos_slot_of(dist);
+    int nd = (slot >> 1) - 1;
+    return slot_price_tab[ls][slot] +
+           ((u32)(nd - 4) << kNumBitPriceShiftBits) +
+           align_price_tab[dist & 15];
+  }
+
   size_t compress_optimal(const u8* data, size_t n, std::vector<u8>& out,
                           u32 dict_size) {
     out.push_back((u8)((pb * 5 + lp) * 9 + lc));
@@ -577,6 +621,7 @@ struct Encoder {
     size_t pos = 0;
     while (pos < n) {
       int B = (int)((n - pos < (size_t)W) ? (n - pos) : (size_t)W);
+      refresh_price_tables();
       for (int i = 0; i <= B; i++) nodes[i].price = 0xFFFFFFFFu;
       nodes[0].price = 0;
       nodes[0].st = (u8)state;
@@ -623,10 +668,15 @@ struct Encoder {
           nreps[2] = nd.reps[r >= 2 ? 1 : 2];
           nreps[3] = nd.reps[r >= 3 ? 2 : 3];
           u8 nst = (u8)(st < 7 ? 8 : 11);
-          u32 base = nd.price + price_rep(st, ps, r, 2) - price_len(rep_len_c, 2, ps);
-          for (u32 len = 2; len <= L; len++)
-            relax(i + (int)len, base + price_len(rep_len_c, len, ps), len, (u32)r,
-                  nst, nreps);
+          u32 base = nd.price + price_rep(st, ps, r, 2) - rep_len_price_tab[ps][2];
+          const u32* rlp = rep_len_price_tab[ps];
+          // long runs: dense lens are practically never optimal mid-cut;
+          // relax the short range + the tail (LzmaEnc fast-bytes analog)
+          u32 dense = L <= 40 ? L : 32;
+          for (u32 len = 2; len <= dense; len++)
+            relax(i + (int)len, base + rlp[len], len, (u32)r, nst, nreps);
+          for (u32 len = (L > 40 ? L - 1 : L + 1); len <= L; len++)
+            relax(i + (int)len, base + rlp[len], len, (u32)r, nst, nreps);
         }
         // normal matches
         int nc = collect_matches(data, n, ap, mlens, mdists, 64);
@@ -640,12 +690,18 @@ struct Encoder {
           u8 nst = (u8)(st < 7 ? 7 : 10);
           u32 base = nd.price + g_prices.p1(is_match[(st << 4) + ps]) +
                      g_prices.p0(is_rep[st]);
-          for (u32 len = prev_len + 1; len <= L; len++) {
-            if (len < 2) continue;
+          const u32* lp = len_price_tab[ps];
+          u32 lo = prev_len + 1 < 2 ? 2 : prev_len + 1;
+          u32 dense = L <= 40 ? L : (lo + 32 < L ? lo + 32 : L);
+          for (u32 len = lo; len <= dense; len++)
             relax(i + (int)len,
-                  base + price_len(len_c, len, ps) + price_dist(dist, len), len,
+                  base + lp[len] + price_dist_cached(dist, len), len,
                   4 + dist, nst, nreps);
-          }
+          if (dense < L)
+            for (u32 len = L - 1; len <= L; len++)
+              relax(i + (int)len,
+                    base + lp[len] + price_dist_cached(dist, len), len,
+                    4 + dist, nst, nreps);
           prev_len = mlens[c];
         }
       }

@@ -63,7 +63,7 @@ def get_lib():
 
 
 def lzma_compress(data: bytes, lc: int = 8, lp: int = 0, pb: int = 2,
-                  dict_size: int = 1 << 25, depth: int = -32) -> bytes:
+                  dict_size: int = 1 << 25, depth: int = -8) -> bytes:
     """depth > 0: greedy/lazy; depth < 0: optimal parse, chain |depth|."""
     lib = get_lib()
     if lib is None:
