@@ -92,3 +92,31 @@ def test_cli_encode_decode_roundtrip(tmp_path):
     assert rc == 0 and (tmp_path / "back.y4m").exists()
     rc = cli.main(["info", str(out), "--full"])
     assert rc == 0
+
+
+def test_cli_step_ranges_with_checkpoints(tmp_path):
+    """Run the pipeline in two halves through checkpoints (the GUI's
+    start/end step combos, main.pas:406-443)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_e2e import synthetic_clip
+    from tiler_tpu.io.export import write_y4m
+
+    clip = synthetic_clip(F=4)
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), clip, fps=24.0)
+    out = tmp_path / "out.gtm"
+    ck = tmp_path / "half.ckpt"
+    rc = cli.main([
+        "encode", "-i", str(src), "-o", str(out),
+        "--palette-count", "8", "--quality", "2", "--radius", "8",
+        "--steps", "load:prepare_palettes", "--checkpoint", str(ck),
+    ])
+    assert rc == 0 and ck.exists() and not out.exists()
+    rc = cli.main([
+        "encode", "--resume", str(ck), "--steps", "dither:save",
+    ])
+    assert rc == 0 and out.exists()
+    from tiler_tpu.bitstream.gtm import GTMDecoder
+
+    assert len(GTMDecoder(str(out)).decode_frames()) == 4

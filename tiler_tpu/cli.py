@@ -30,7 +30,7 @@ def _encoder_from_settings(path_or_none, overrides):
 
 
 def cmd_encode(args):
-    from .pipeline.encoder import Encoder
+    from .pipeline.encoder import Encoder, STEPS
 
     settings = _encoder_from_settings(
         args.settings,
@@ -44,8 +44,29 @@ def cmd_encode(args):
             frame_count=args.frames,
         ),
     )
-    enc = Encoder(settings)
-    enc.run_all()
+    if args.resume:
+        enc = Encoder.load_checkpoint(args.resume)
+        enc.settings = settings if args.settings else enc.settings
+    else:
+        enc = Encoder(settings)
+
+    # step-range execution (GUI start/end step combos, main.pas:406-443)
+    if args.steps:
+        a, _, b = args.steps.partition(":")
+        a = a or STEPS[0]
+        b = b or STEPS[-1]
+        i0, i1 = STEPS.index(a), STEPS.index(b)
+        for name in STEPS[i0 : i1 + 1]:
+            if name == "load":
+                enc.load_video()
+            elif name == "save":
+                enc.save()
+            else:
+                getattr(enc, name)()
+    else:
+        enc.run_all()
+    if args.checkpoint:
+        enc.save_checkpoint(args.checkpoint)
     if args.export_y4m:
         from .bitstream.gtm import GTMDecoder
         from .io.export import write_y4m
@@ -153,6 +174,9 @@ def main(argv=None):
     e.add_argument("--export-y4m")
     e.add_argument("--export-input-y4m")  # GenerateY4M(AInput=True) parity
     e.add_argument("--export-pngs")
+    e.add_argument("--steps", help="contiguous step range, e.g. load:reduce")
+    e.add_argument("--checkpoint", help="write encoder state after the run")
+    e.add_argument("--resume", help="resume from a checkpoint file")
     e.set_defaults(fn=cmd_encode)
 
     d = sub.add_parser("decode")
