@@ -335,10 +335,14 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
     vm_dev = jnp.asarray(tm.vmirror)
 
     def _bucket(n):
-        b = 8
-        while b < n:
-            b *= 2
-        return b
+        # pow2 up to 64, then 64-multiples: bounds both the number of
+        # compiled scan lengths and the padded-frame waste (<~20%)
+        if n <= 64:
+            b = 8
+            while b < n:
+                b *= 2
+            return b
+        return -(-n // 64) * 64
 
     host_frames = isinstance(state.frames_rgb, np.ndarray)
     outs = []
