@@ -124,19 +124,38 @@ def _motion_core(cur_rgb, prev_rgb, radius: int):
     # only rank candidates (exact winner error recomputed from fp32 Fp
     # below), and bf16 halves the dominant HBM traffic.
     Fblk = (
-        Fp.astype(jnp.bfloat16).reshape(mh, TILE_W, mw, TILE_W, K).transpose(0, 2, 1, 3, 4)
+        Fp.astype(jnp.bfloat16)
+        .reshape(mh, TILE_W, mw, TILE_W, K)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(mh, mw, 64, K)
     )
     N2blk = N2p.reshape(mh, TILE_W, mw, TILE_W).transpose(0, 2, 1, 3)
-    Tb = T.astype(jnp.bfloat16)
 
-    # cross terms for all 2Q x 2Q block shifts (static slices)
+    # Cross terms, REVERSED: for each field block (m, n), one matmul against
+    # its 2Q x 2Q neighbor tiles reads the (big) field exactly once —
+    # D[m, n, s, q] = Fblk[m, n, s, :] . T[m - qy, n - qx, :]
+    # (the shift-major formulation re-reads the field 4Q^2 times).
+    Tb = T.astype(jnp.bfloat16)
+    tpad = jnp.pad(Tb, ((2 * Q - 1, mh - th), (2 * Q - 1, mw - tw), (0, 0)))
+    neigh = jnp.stack(
+        [
+            tpad[2 * Q - 1 - qy : 2 * Q - 1 - qy + mh, 2 * Q - 1 - qx : 2 * Q - 1 - qx + mw]
+            for qy in range(2 * Q)
+            for qx in range(2 * Q)
+        ],
+        axis=2,
+    )  # [mh, mw, 4Q^2, K]
+    D = jnp.einsum(
+        "mnsk,mnqk->mnsq", Fblk, neigh, preferred_element_type=jnp.float32
+    )  # [mh, mw, 64(s), 4Q^2(q)]
+
+    # gather back to tile-major: err[i, j, qy, qx, sy, sx]
     rows = []
     for qy in range(2 * Q):
         cols = []
         for qx in range(2 * Q):
-            S = Fblk[qy : qy + th, qx : qx + tw]
-            C = jnp.einsum(
-                "ijabk,ijk->ijab", S, Tb, preferred_element_type=jnp.float32
+            C = D[qy : qy + th, qx : qx + tw, :, qy * 2 * Q + qx].reshape(
+                th, tw, TILE_W, TILE_W
             )
             Nw = N2blk[qy : qy + th, qx : qx + tw]
             cols.append(T2[:, :, None, None] - 2.0 * C + Nw)
