@@ -61,8 +61,8 @@ def test_reserialize_roundtrip_pixel_exact(demo):
     # preserve the original TileSet/intra split: tiles the reference put in
     # the TileSet keep use>=2 semantics; everything at index >= tile_count
     # was intra (use forced to 1)
-    use[: g.tile_count] = np.maximum(use[: g.tile_count], 2)
-    use[g.tile_count :] = 1
+    use[: g.tileset_count] = np.maximum(use[: g.tileset_count], 2)
+    use[g.tileset_count :] = 1
 
     import io
 
@@ -94,3 +94,34 @@ def test_native_compression_competitive():
     ours = native.lzma_compress(payload, lc=8)
     ratio = len(ours) / ref_size
     assert ratio < 1.35, f"our stream {len(ours)} vs reference {ref_size} ({ratio:.2f}x)"
+
+
+def test_city_demo_full_roundtrip():
+    """Second golden stream (city_cif: 300 frames, single keyframe,
+    91k-tile TileSet): full decode + re-serialization round-trip."""
+    import io
+
+    city = "/root/reference/docs/demo/city_cif.gtm"
+    if not os.path.exists(city):
+        pytest.skip("no city demo")
+    g = GTMReader.read(city)
+    frames = GTMDecoder(city).decode_frames()
+    assert len(frames) == 300 and len(g.frames) == 300
+    n_tiles = len(g.tiles_pal)
+    use = np.zeros(n_tiles, np.int64)
+    for fr in g.frames:
+        m = fr.tile_idx >= 0
+        np.add.at(use, fr.tile_idx[m], 1)
+    use[: g.tileset_count] = np.maximum(use[: g.tileset_count], 2)
+    use[g.tileset_count :] = 1
+    buf = io.BytesIO()
+    w = GTMWriter(g.tilemap_w, g.tilemap_h, g.fps, g.palette_size,
+                  settings_text=g.settings_text)
+    stats = w.write(buf, g.tiles_pal, use, g.palettes_rgb, g.frames, g.keyframe_end)
+    ours = GTMDecoder(buf.getvalue()).decode_frames()
+    for i in (0, 1, 150, 299):
+        assert np.array_equal(ours[i], frames[i]), f"frame {i}"
+    # our re-encode of the same content should not be much larger than the
+    # reference's stream (0.996x LZMA + identical commands)
+    ref_size = os.path.getsize(city)
+    assert stats.total_bytes < ref_size * 1.02, (stats.total_bytes, ref_size)

@@ -107,7 +107,7 @@ class GTMWriter:
         fps: float,
         palette_size: int,
         settings_text: str = "",
-        lc: int = 4,
+        lc: int = 8,  # reference parity (extern.pas:427); stdlib fallback clamps
     ):
         self.tw = tilemap_w
         self.th = tilemap_h
@@ -417,6 +417,7 @@ class GTMFile:
     height: int = 0
     fps: float = 0.0
     tile_count: int = 0  # declared in SetDimensions
+    tileset_count: int = 0  # tiles actually present in the TileSet command
     palette_size: int = 0
     settings_text: str = ""
     tiles_pal: Optional[np.ndarray] = None  # [T, 8, 8] uint8
@@ -552,6 +553,7 @@ class GTMReader:
                     n = t1 - t0 + 1
                     arr = np.frombuffer(r.raw(n * TILE_SIZE), np.uint8)
                     g.tiles_pal[t0 : t1 + 1] = arr.reshape(n, TILE_W, TILE_W)
+                    g.tileset_count = max(g.tileset_count, t1 + 1)
                 elif cmd == GTM_COMMANDS.LoadPalette:
                     pi = r.u16()
                     rgba = np.frombuffer(r.raw(g.palette_size * 4), np.uint8).reshape(-1, 4)
