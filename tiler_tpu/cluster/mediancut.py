@@ -8,7 +8,7 @@ EncoderSettings in place of per-palette k-means.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 import configparser
 import io
 import math
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, field
 
 
 def equal_quality_tile_count(tile_count: float) -> int:

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pickle
 import time
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..config import EncoderSettings
 from ..models.state import EncodeState
-from ..cluster.kmeans import kmeans, assign_nearest
+from ..cluster.kmeans import kmeans
 from ..ops import dct
 from ..ops.color import rgb_to_hsv_bytes, posterize
 

@@ -24,8 +24,6 @@ Semantics parity:
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
