@@ -53,7 +53,7 @@ def main():
 
     W = int(os.environ.get("TILER_BENCH_W", 1280))
     H = int(os.environ.get("TILER_BENCH_H", 720))
-    F = int(os.environ.get("TILER_BENCH_FRAMES", 8))
+    F = int(os.environ.get("TILER_BENCH_FRAMES", 16))
     P = int(os.environ.get("TILER_BENCH_PALETTES", 128))
     EK = int(os.environ.get("TILER_BENCH_EPU_K", 16))
 
