@@ -213,3 +213,33 @@ def test_host_resident_streaming_mode(tmp_path):
     enc2 = Encoder(s2, log=lambda *a: None)
     enc2.run_all(clip, fps=24.0, out_path=str(p2))
     assert open(p1, 'rb').read() == open(p2, 'rb').read()
+
+
+def test_single_frame_video(tmp_path):
+    """F=1: no motion prediction possible anywhere; still a valid stream."""
+    clip = synthetic_clip(F=1)
+    enc = Encoder(_settings(), log=lambda *a: None)
+    p = tmp_path / "one.gtm"
+    enc.run_all(clip, fps=24.0, out_path=str(p))
+    frames = GTMDecoder(str(p)).decode_frames()
+    assert len(frames) == 1
+    assert not enc.state.tilemap.predicted.any()
+
+
+def test_two_frame_video(tmp_path):
+    clip = synthetic_clip(F=2)
+    enc = Encoder(_settings(), log=lambda *a: None)
+    p = tmp_path / "two.gtm"
+    enc.run_all(clip, fps=24.0, out_path=str(p))
+    assert len(GTMDecoder(str(p)).decode_frames()) == 2
+
+
+def test_palette_count_exceeds_corpus(tmp_path):
+    s = _settings()
+    s.palette_count = 64  # more palettes than distinct tiles
+    s.global_tiling_tile_count = 4
+    clip = synthetic_clip(F=3)
+    enc = Encoder(s, log=lambda *a: None)
+    p = tmp_path / "overpal.gtm"
+    enc.run_all(clip, fps=24.0, out_path=str(p))
+    assert len(GTMDecoder(str(p)).decode_frames()) == 3

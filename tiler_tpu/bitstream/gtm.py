@@ -131,12 +131,15 @@ class GTMWriter:
         out += _u32(len(tiles_pal))
         # WriteTiles (:5289-5313): leading tiles with UseCount >= 2 (tiles are
         # sorted by use count desc) go in the TileSet; the rest are emitted
-        # inline as IntraTile commands.
-        reused = int(np.argmax(use_counts <= 1)) if np.any(use_counts <= 1) else len(use_counts)
-        if reused > 0:
-            out += _cmd(GTM_COMMANDS.TileSet, self.palette_size)
-            out += _u32(0) + _u32(reused - 1)
-            out += tiles_pal[:reused].astype(np.uint8).tobytes()
+        # inline as IntraTile commands. At least one tile ALWAYS goes in the
+        # TileSet: the decoders (ours and gtm.player.js:398) learn the
+        # palette size only from this command, so a TileSet-less stream
+        # desyncs — a latent edge case in the reference writer (:5289-5299)
+        # that its encoder never hits in practice.
+        reused = self._reused_count(use_counts)
+        out += _cmd(GTM_COMMANDS.TileSet, self.palette_size)
+        out += _u32(0) + _u32(reused - 1)
+        out += tiles_pal[:reused].astype(np.uint8).tobytes()
         # WritePalettes (:5270-5287)
         P = len(palettes_rgb)
         pal = np.asarray(palettes_rgb, dtype=np.uint8)
@@ -151,6 +154,11 @@ class GTMWriter:
             out += _u16(p)
             out += rgba[p].tobytes()
         return bytes(out)
+
+    @staticmethod
+    def _reused_count(use_counts: np.ndarray) -> int:
+        reused = int(np.argmax(use_counts <= 1)) if np.any(use_counts <= 1) else len(use_counts)
+        return max(1, reused)
 
     # ---- per-frame emission ---------------------------------------------
     def _frame_bytes(self, fr: FrameCommands, tiles_pal: np.ndarray,
@@ -214,7 +222,9 @@ class GTMWriter:
         c_tile = tile_idx[emit_cells]
         c_pal = pal_idx[emit_cells]
         c_attr = (vm[emit_cells] << 1) | hm[emit_cells]
-        c_intra = (~c_pred) & (use_counts[c_tile] <= 1)
+        # intra iff the tile is outside the TileSet prefix (consistent with
+        # the prologue's split; DoTMI isIntra, :5233-5236)
+        c_intra = (~c_pred) & (c_tile >= self._reused_count(use_counts))
         c_longtile = c_tile > 0xFFFF
         c_longpal = c_pal >= SHORT_PAL_LIMIT
 
