@@ -11,6 +11,7 @@ import numpy as np
 
 from ..config import EncoderSettings
 from ..models.state import EncodeState
+from ..utils.progress import trace_step
 from . import dither as dither_mod
 from . import load as load_mod
 from . import palettes as palettes_mod
@@ -87,32 +88,37 @@ class Encoder:
     # --- steps ------------------------------------------------------------
     def predict_motion(self):
         t0 = time.monotonic()
-        predict_mod.predict_motion(self.state, self.settings)
+        with trace_step("predict_motion"):
+            predict_mod.predict_motion(self.state, self.settings)
         self._stamp("predict_motion", t0)
         return self
 
     def reduce(self):
         t0 = time.monotonic()
-        reduce_mod.reduce_tiles(self.state, self.settings)
+        with trace_step("reduce"):
+            reduce_mod.reduce_tiles(self.state, self.settings)
         self._stamp("reduce", t0)
         self.log(f"corpus: {len(self.state.corpus_rgb)} tiles")
         return self
 
     def prepare_palettes(self):
         t0 = time.monotonic()
-        palettes_mod.prepare_palettes(self.state, self.settings)
+        with trace_step("prepare_palettes"):
+            palettes_mod.prepare_palettes(self.state, self.settings)
         self._stamp("prepare_palettes", t0)
         return self
 
     def dither(self):
         t0 = time.monotonic()
-        dither_mod.dither(self.state, self.settings)
+        with trace_step("dither"):
+            dither_mod.dither(self.state, self.settings)
         self._stamp("dither", t0)
         return self
 
     def reconstruct(self):
         t0 = time.monotonic()
-        reconstruct_mod.reconstruct(self.state, self.settings, mesh=self.mesh)
+        with trace_step("reconstruct"):
+            reconstruct_mod.reconstruct(self.state, self.settings, mesh=self.mesh)
         self._stamp("reconstruct", t0)
         for kf in self.state.keyframes:
             self.log(f"KF {kf.start_frame:6d} PSNR-HVS: {self.state.kf_psnr[kf.index]:10.6f} (by tile)")
@@ -121,7 +127,8 @@ class Encoder:
 
     def reindex(self):
         t0 = time.monotonic()
-        reindex_mod.reindex(self.state, self.settings)
+        with trace_step("reindex"):
+            reindex_mod.reindex(self.state, self.settings)
         self._stamp("reindex", t0)
         self.log(f"reindex: {len(self.state.corpus_pal_pixels)} final tiles")
         return self
