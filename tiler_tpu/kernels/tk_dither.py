@@ -159,8 +159,16 @@ def tk_dither_pallas(tiles_rgb_u8, pal_initial, pal_rgb, pal_valid, bayer,
     padded = -(-counts // BLK) * BLK
     padded_starts = jnp.concatenate([jnp.zeros(1, padded.dtype), jnp.cumsum(padded)[:-1]])
     sorted_starts = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]])
-    # Mpad is data-dependent; static worst case: each palette wastes < BLK
+    # Mpad is data-dependent; static worst case: each palette wastes < BLK.
+    # Bucket to a power-of-two block count so the kernel compiles once per
+    # size class instead of once per corpus size (padded blocks compute
+    # garbage that is discarded — the kernel is ~14ms for 2.5k blocks).
     mpad = int(-(-M // BLK) * BLK) + (P - 1) * BLK
+    nblk_needed = mpad // BLK
+    nblk_bucket = 1
+    while nblk_bucket < nblk_needed:
+        nblk_bucket *= 2
+    mpad = nblk_bucket * BLK
     pos = jnp.arange(mpad)
     q = jnp.clip(jnp.searchsorted(padded_starts, pos, side="right") - 1, 0, P - 1)
     off = pos - padded_starts[q]

@@ -85,7 +85,12 @@ def _topk_candidates(feats, ds, k: int, chunk: int):
     N = feats.shape[0]
     T = ds.shape[0]
     f2 = jnp.sum(feats * feats, axis=1, keepdims=True)
+    # bucket the chunk count to powers of two: one compile per size class
     nchunks = -(-T // chunk)
+    b = 1
+    while b < nchunks:
+        b *= 2
+    nchunks = b
     Tpad = nchunks * chunk
     dsp = jnp.pad(ds, ((0, Tpad - T), (0, 0)))
     d2pad = jnp.sum(dsp * dsp, axis=1)
