@@ -118,7 +118,10 @@ def _kmeans_jit(points, weights, key, k: int, iters: int, chunk: int, init: str)
 
 def kmeans(points, k: int, *, weights=None, iters: int = 30, seed: int = 0,
            chunk: int = 16384, init: str = "sample"):
-    """Weighted k-means. Returns (centroids [k,D], assign [N], d2 [N])."""
+    """Weighted k-means. Returns (centroids [k,D], assign [N], d2 [N]).
+
+    N is padded to a power of two with zero-weight points so the jit
+    compiles once per size class, not once per dataset size."""
     points = jnp.asarray(points, jnp.float32)
     n = points.shape[0]
     if weights is None:
@@ -126,6 +129,13 @@ def kmeans(points, k: int, *, weights=None, iters: int = 30, seed: int = 0,
     else:
         weights = jnp.asarray(weights, jnp.float32)
     k = int(min(k, n))
+    npad = 256
+    while npad < n:
+        npad *= 2
+    if npad != n:
+        points = jnp.pad(points, ((0, npad - n), (0, 0)))
+        weights = jnp.pad(weights, (0, npad - n))
     key = jax.random.PRNGKey(seed)
-    chunk = int(min(chunk, max(256, n)))
-    return _kmeans_jit(points, weights, key, k, iters, chunk, init)
+    chunk = int(min(chunk, npad))
+    cents, assign, d2 = _kmeans_jit(points, weights, key, k, iters, chunk, init)
+    return cents, assign[:n], d2[:n]

@@ -109,10 +109,18 @@ def quantization(state: EncodeState, settings: EncoderSettings,
                  color_cap: int = 2048) -> EncodeState:
     P, S = settings.palette_count, settings.palette_size
     key = jax.random.PRNGKey(settings.seed)
-    cols, wts, npix_d = _sample_member_pixels(
-        jnp.asarray(state.corpus_rgb), jnp.asarray(state.corpus_pal_initial),
-        P, color_cap, key,
-    )
+    # pad the corpus to a power of two (sentinel palette id P sorts after
+    # every real palette) so the sampler compiles once per size class
+    T = len(state.corpus_rgb)
+    Tpad = 256
+    while Tpad < T:
+        Tpad *= 2
+    corpus = jnp.asarray(state.corpus_rgb)
+    pidx = jnp.asarray(state.corpus_pal_initial.astype(np.int32))
+    if Tpad != T:
+        corpus = jnp.pad(corpus, ((0, Tpad - T), (0, 0), (0, 0), (0, 0)))
+        pidx = jnp.pad(pidx, (0, Tpad - T), constant_values=P)
+    cols, wts, npix_d = _sample_member_pixels(corpus, pidx, P, color_cap, key)
     npix = np.asarray(npix_d).astype(np.int64)
 
     def one(colors, weights, seed):
