@@ -52,6 +52,8 @@ class EncoderSettings:
     kmeans_iters: int = 30
     corpus_chunk: int = 8192  # corpus matmul chunk for KNN
     seed: int = 0x42381337  # CRandomSeed (extern.pas:226)
+    epu_pal_k: int = 0  # 0 = full cartesian (reference parity); >0 caps
+    # the EPU palette candidates to the top-k tiles' palettes
     use_pallas_tk: bool = True  # Pallas Thomas Knoll kernel (falls back to XLA)
     hbm_frames_budget: float = 8e9  # larger videos stream from host RAM
 

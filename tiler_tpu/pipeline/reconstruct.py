@@ -134,6 +134,7 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
     feats [B, 192]; cand_idx/cand_pal [B, kk] sorted ascending; G [T,64,S];
     pal_yuv [P, S, 3]. Returns (tile [B], pal [B], err [B])."""
     B, kk = cand_idx.shape
+    kp = cand_pal.shape[1]
     w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
     wf = w.transpose(1, 2, 0).reshape(64, 3)  # [vu, c]
     nch = -(-B // cell_chunk)
@@ -145,7 +146,7 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
     def body(_, i):
         f = jax.lax.dynamic_slice(featsp, (i * cell_chunk, 0), (cell_chunk, K))
         ci = jax.lax.dynamic_slice(cip, (i * cell_chunk, 0), (cell_chunk, kk))
-        cp = jax.lax.dynamic_slice(cpp, (i * cell_chunk, 0), (cell_chunk, kk))
+        cp = jax.lax.dynamic_slice(cpp, (i * cell_chunk, 0), (cell_chunk, kp))
         # bf16 gathers/matmuls: ranking only — winners get an exact
         # fp32 re-evaluation in _knn_phase
         Gi = G[ci]  # [b, kk, 64, S] (bf16)
@@ -155,9 +156,9 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
         ) * wf[None, None, None]
         ft = f.reshape(-1, 3, 64).transpose(0, 2, 1)[:, None, None]
         d = rf - ft
-        err = jnp.sum(d * d, axis=(-2, -1)).reshape(cell_chunk, kk * kk)
+        err = jnp.sum(d * d, axis=(-2, -1)).reshape(cell_chunk, kk * kp)
         best = jnp.argmin(err, axis=1)
-        bi, bj = best // kk, best % kk
+        bi, bj = best // kp, best % kp
         return None, (
             jnp.take_along_axis(ci, bi[:, None], 1)[:, 0],
             jnp.take_along_axis(cp, bj[:, None], 1)[:, 0],
@@ -229,7 +230,11 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
             dev_outs.append((idx[:, 0], pal_initial[idx[:, 0]], exact))
         else:
             cand_idx = jnp.sort(idx, axis=1)
-            cand_pal = jnp.sort(pal_initial[idx], axis=1)
+            # candidate palettes come from the top tiles; capping them at
+            # epu_pal_k (palettes of the best-ranked tiles) quarters the
+            # cartesian re-rank with negligible quality impact
+            pal_k = min(getattr(settings, "epu_pal_k", kk) or kk, kk)
+            cand_pal = jnp.sort(pal_initial[idx[:, :pal_k]], axis=1)
             # bound the [chunk, kk, kk, 64, 3] fp32 intermediate to ~200MB
             cell_chunk = max(8, min(512, int(2e8 / (kk * kk * 64 * 3 * 4))))
             t, p, _ = _epu_rank_all(
