@@ -6,10 +6,11 @@ with SSE distance kernels (TFrame.PredictMotion, tilingencoder.pas:1154-1290):
   1. The weighted-DCT of EVERY 8x8 window of the reference frame is one
      grouped convolution (192 filters = DCT basis x PSNR-HVS weights) —
      MXU work, no per-window loop.
-  2. Candidate distances use |t - w|^2 = |t|^2 - 2 t.w + |w|^2 ; the cross
-     terms for all (tile, offset) pairs come from 4x4..8x8 phase-decomposed
-     shifted views of the window field (offsets split o = 8q + s), so every
-     read is a static slice — no gathers.
+  2. Candidate distances use |t - w|^2 = |t|^2 - 2 t.w + |w|^2 ; offsets
+     split o = 8q + s into block shifts and phases, and the cross terms
+     come REVERSED: each field block runs one matmul against its 2Qx2Q
+     neighboring tiles, so the (large) window field is read exactly once
+     per frame and all slicing is static — no gathers on the hot path.
   3. A Manhattan-distance penalty toward the zero offset breaks ties in
      favor of compressible motion vectors (reference :1232-1235).
 
