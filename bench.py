@@ -1,16 +1,22 @@
 #!/usr/bin/env python
 """Driver benchmark: full-pipeline GTM encode throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline target: 30 fps at 720p on one v5e chip (BASELINE.md).
+
+Settings are the REFERENCE DEFAULTS (tilingencoder.pas:3817-3845):
+PaletteCount 1024, PaletteSize 16, MotionPredictRadius 32,
+QualityBasedTileCount 7.0, Thomas Knoll dithering, EPU on (cEpuKnnK=64).
 
 The first pass warms the persistent compilation cache (the axon remote
 compile is slow and its latency is not an encoder property); the reported
-number is the steady-state wall-clock fps of the second full encode,
-including host bitstream assembly and LZMA.
+number is the steady-state wall-clock fps of the best of two full
+encodes, including host bitstream assembly and LZMA. A third, step-synced
+run records the per-step steady breakdown (async dispatch otherwise
+credits device-resident outputs to the consuming step).
 
-Env knobs: TILER_BENCH_W/H (default 1280x720), TILER_BENCH_FRAMES (8),
-TILER_BENCH_PALETTES (128), TILER_BENCH_EPU_K (16).
+Env knobs: TILER_BENCH_W/H (default 1280x720), TILER_BENCH_FRAMES (16),
+TILER_BENCH_PALETTES (1024), TILER_BENCH_EPU_K (64).
 """
 import json
 import os
@@ -54,10 +60,10 @@ def main():
     W = int(os.environ.get("TILER_BENCH_W", 1280))
     H = int(os.environ.get("TILER_BENCH_H", 720))
     F = int(os.environ.get("TILER_BENCH_FRAMES", 16))
-    P = int(os.environ.get("TILER_BENCH_PALETTES", 128))
-    EK = int(os.environ.get("TILER_BENCH_EPU_K", 16))
+    P = int(os.environ.get("TILER_BENCH_PALETTES", 1024))
+    EK = int(os.environ.get("TILER_BENCH_EPU_K", 64))
 
-    log(f"bench: {W}x{H} x{F} frames on {jax.devices()}")
+    log(f"bench: {W}x{H} x{F} frames on {jax.devices()} | P={P} EPU_K={EK}")
     clip = synthetic_clip(F, H, W)
     settings = EncoderSettings(
         palette_count=P,
@@ -65,7 +71,6 @@ def main():
         motion_predict_radius=32,
         global_tiling_quality_based_tile_count=7.0,
         epu_knn_k=EK,
-        kmeans_iters=10,
     )
 
     out = "/tmp/tiler_bench.gtm"
@@ -87,6 +92,14 @@ def main():
     wall = best
     fps = F / wall
 
+    # step-synced steady run for the per-step breakdown
+    os.environ["TILER_TPU_SYNC_STEPS"] = "1"
+    enc2 = Encoder(settings, log=lambda *a: None)
+    enc2.run_all(clip, fps=25.0, out_path=out)
+    del os.environ["TILER_TPU_SYNC_STEPS"]
+    steps = {k: round(v, 3) for k, v in enc2.timings.items()}
+    log("steady steps (synced): " + json.dumps(steps))
+
     # sanity: stream must decode to the right frame count
     frames = GTMDecoder(out).decode_frames()
     assert len(frames) == F, "bench stream failed to decode"
@@ -102,6 +115,11 @@ def main():
                 "value": round(fps, 4),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 30.0, 5),
+                "settings": {"palette_count": P, "epu_knn_k": EK,
+                             "frames": F, "w": W, "h": H},
+                "steady_steps_s": steps,
+                "psnr_hvs_db": round(enc.state.total_psnr, 3),
+                "bytes": enc.stats.total_bytes,
             }
         )
     )

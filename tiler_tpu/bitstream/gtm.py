@@ -669,7 +669,7 @@ class GTMDecoder:
             off = self.header["whole_header_size"]
         self._payload = b"".join(lzma_codec.split_streams(raw[off:]))
 
-    def decode_frames(self) -> List[np.ndarray]:
+    def decode_frames(self, max_frames: int = 0) -> List[np.ndarray]:
         r = _ByteReader(self._payload)
         frames: List[np.ndarray] = []
         width = height = 0  # in tiles
@@ -733,6 +733,8 @@ class GTMDecoder:
                 tm_pos = 0
                 frames.append(img[dbl].copy())
                 dbl = 1 - dbl
+                if max_frames and len(frames) >= max_frames:
+                    return frames
             elif cmd == GTM_COMMANDS.SkipBlock:
                 for _ in range(data + 1):
                     draw_predicted(0, 0)

@@ -3,6 +3,7 @@ tilingencoder.pas:5529-5554) with step timing/progress telemetry
 (ProgressRedraw, :3904-3979) and per-stage checkpointing."""
 from __future__ import annotations
 
+import os
 import pickle
 import time
 from typing import Optional
@@ -229,6 +230,15 @@ class Encoder:
         return enc
 
     def _stamp(self, step: str, t0: float):
+        if os.environ.get("TILER_TPU_SYNC_STEPS"):
+            # true per-step breakdown: drain async device work before
+            # stamping (steps otherwise overlap via JAX async dispatch,
+            # crediting device-resident outputs to the consuming step)
+            import jax
+
+            jax.block_until_ready(
+                [v for v in vars(self.state).values() if isinstance(v, jax.Array)]
+            )
         dt = time.monotonic() - t0
         self.timings[step] = dt
         self.log(f"[{step}] {dt:.3f}s")

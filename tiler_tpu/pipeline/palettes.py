@@ -179,6 +179,66 @@ def _kmeans_small(points, weights, k, iters, seed):
     return cents, None, None
 
 
+@functools.partial(jax.jit, static_argnames=("S", "max_rounds", "max_inner"))
+def _optimize_palettes_dev(pal, valid, S: int, max_rounds: int, max_inner: int):
+    """Device 2-opt on the OptimizePalettes objective — one fused program
+    (the host-numpy version of this loop cost ~4.5s/encode at P=1024)."""
+    wch = jnp.array([RED_MUL, GREEN_MUL, BLUE_MUL], jnp.float32) / LUMA_DIV
+    iu_i, iu_j = np.triu_indices(S, 1)
+    iu_i = jnp.asarray(iu_i, jnp.int32)
+    iu_j = jnp.asarray(iu_j, jnp.int32)
+    mean = pal.sum(axis=(0, 1)) / S  # MeanR/G/B (tilingencoder.pas:4374-4380)
+    slots = jnp.arange(S, dtype=jnp.int32)[None, :]
+
+    def inner(t):
+        def body(c):
+            pal, valid, it, _ = c
+            d = t + pal
+            ss = jnp.sum(d * d, axis=1)  # [P, 3]
+            ti = t[:, :, None, :]
+            tj = t[:, None, :, :]
+            ri = pal[:, :, None, :]
+            rj = pal[:, None, :, :]
+            dss = (ti + rj) ** 2 + (tj + ri) ** 2 - (ti + ri) ** 2 - (tj + rj) ** 2
+            obj_new = jnp.sum(
+                wch * jnp.sqrt(jnp.maximum(ss[:, None, None, :] + dss, 0) / S), -1
+            )
+            obj_cur = jnp.sum(wch * jnp.sqrt(ss / S), -1)  # [P]
+            gain = (obj_new - obj_cur[:, None, None])[:, iu_i, iu_j]
+            best = jnp.argmax(gain, axis=1)
+            bg = jnp.take_along_axis(gain, best[:, None], 1)[:, 0]
+            do = bg > 1e-4  # fp32 epsilon (host float64 used 1e-9)
+            bi = iu_i[best][:, None]
+            bj = iu_j[best][:, None]
+            perm = jnp.where(slots == bi, bj, jnp.where(slots == bj, bi, slots))
+            perm = jnp.where(do[:, None], perm, slots)
+            pal2 = jnp.take_along_axis(pal, perm[:, :, None], axis=1)
+            valid2 = jnp.take_along_axis(valid, perm, axis=1)
+            return pal2, valid2, it + 1, jnp.any(do)
+
+        return body
+
+    def outer_body(c):
+        pal, valid, prev_obj, r, _ = c
+        acc = pal.sum(axis=0, keepdims=True) - pal  # per-slot others
+        t = acc - mean[None, None, :]  # held fixed through the inner 2-opt
+        pal, valid, _, _ = jax.lax.while_loop(
+            lambda c2: c2[3] & (c2[2] < max_inner),
+            inner(t),
+            (pal, valid, jnp.int32(0), jnp.bool_(True)),
+        )
+        dall = (pal.sum(axis=0, keepdims=True) - pal) + pal - mean[None, None, :]
+        obj = jnp.mean(jnp.sum(wch * jnp.sqrt(jnp.sum(dall**2, 1) / S), -1))
+        return pal, valid, obj, r + 1, obj > prev_obj + 1e-4
+
+    pal, valid, _, _, _ = jax.lax.while_loop(
+        lambda c: c[4] & (c[3] < max_rounds),
+        outer_body,
+        (pal, valid, jnp.float32(-jnp.inf), jnp.int32(0), jnp.bool_(True)),
+    )
+    return pal, valid
+
+
 def optimize_palettes(state: EncodeState, settings: EncoderSettings,
                       max_rounds: int = 16) -> EncodeState:
     """2-opt swap search on the exact OptimizePalettes objective
@@ -186,53 +246,14 @@ def optimize_palettes(state: EncodeState, settings: EncoderSettings,
       sum_c w_c * sqrt( sum_slot (acc_c[slot] + pal_c[slot] - mean_c)^2 / S )
     where acc = per-slot sum over the other palettes and mean = grand
     total / PaletteSize (:4374-4380). Stepwise over palettes until no gain
-    (:4394-4421)."""
-    P, S = settings.palette_count, settings.palette_size
-    pal = state.palettes_rgb.astype(np.float64)  # [P, S, 3]
-    valid = state.palettes_valid.copy()
-    wch = np.array([RED_MUL, GREEN_MUL, BLUE_MUL], np.float64) / LUMA_DIV
-
-    mean = pal.sum(axis=(0, 1)) / S  # [3] (MeanR/G/B, :4374-4380)
-    prev_obj = -np.inf
-    for _ in range(max_rounds):
-        acc = pal.sum(axis=0, keepdims=True) - pal  # [P, S, 3] per-slot others
-        t = acc - mean[None, None, :]  # base terms
-        # inner 2-opt per palette (vectorized over palettes)
-        for _inner in range(S * S):
-            d = t + pal  # [P, S, 3]
-            ss = np.sum(d * d, axis=1)  # [P, 3]
-            # delta for swapping slots i, j: affects slots i and j only
-            ti = t[:, :, None, :]  # [P, i, 1, 3]
-            tj = t[:, None, :, :]
-            ri = pal[:, :, None, :]
-            rj = pal[:, None, :, :]
-            dss = (ti + rj) ** 2 + (tj + ri) ** 2 - (ti + ri) ** 2 - (tj + rj) ** 2
-            obj_new = np.sum(wch * np.sqrt(np.maximum(ss[:, None, None, :] + dss, 0) / S), -1)
-            obj_cur = np.sum(wch * np.sqrt(ss / S), -1)  # [P]
-            gain = obj_new - obj_cur[:, None, None]
-            iu = np.triu_indices(S, 1)
-            gain_flat = gain[:, iu[0], iu[1]]
-            best = np.argmax(gain_flat, axis=1)
-            bg = gain_flat[np.arange(P), best]
-            if np.all(bg <= 1e-9):
-                break
-            bi, bj = iu[0][best], iu[1][best]
-            do = bg > 1e-9
-            rows = np.flatnonzero(do)
-            pi = pal[rows, bi[rows]].copy()
-            pal[rows, bi[rows]] = pal[rows, bj[rows]]
-            pal[rows, bj[rows]] = pi
-            vi = valid[rows, bi[rows]].copy()
-            valid[rows, bi[rows]] = valid[rows, bj[rows]]
-            valid[rows, bj[rows]] = vi
-        dall = (pal.sum(axis=0, keepdims=True) - pal) + pal - mean[None, None, :]
-        obj = float(np.mean(np.sum(wch * np.sqrt(np.sum(dall**2, 1) / S), -1)))
-        if obj <= prev_obj + 1e-9:
-            break
-        prev_obj = obj
-
-    state.palettes_rgb = pal.astype(np.uint8)
-    state.palettes_valid = valid
+    (:4394-4421). Runs fully on device as a nested lax.while_loop; palette
+    bytes are exact in fp32, so the swaps are value-preserving."""
+    S = settings.palette_size
+    pal = jnp.asarray(state.palettes_rgb, jnp.float32)  # [P, S, 3]
+    valid = jnp.asarray(state.palettes_valid)
+    pal, valid = _optimize_palettes_dev(pal, valid, S, max_rounds, S * S)
+    state.palettes_rgb = np.asarray(pal).astype(np.uint8)
+    state.palettes_valid = np.asarray(valid)
     return state
 
 
