@@ -25,6 +25,7 @@ well under the quantization noise, selection may differ on near-ties.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +71,24 @@ def window_dct_field(frame_rgb):
     return out[0]  # [H-7, W-7, 192]
 
 
+def _window_field_bf16(frame_rgb):
+    """Ranking-precision window field: same conv in bfloat16 (7x faster on
+    the MXU than the fp32-HIGHEST variant; the winner's error is
+    recomputed exactly from pixels afterwards)."""
+    yuv = rgb_to_yuv(frame_rgb.astype(jnp.float32)).astype(jnp.bfloat16)
+    filt = jnp.asarray(_window_filters()).reshape(8, 8, 1, 192).astype(jnp.bfloat16)
+    out = jax.lax.conv_general_dilated(
+        yuv[None],
+        filt,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=3,
+        preferred_element_type=jnp.bfloat16,
+    )
+    return out[0]  # [H-7, W-7, 192] bf16
+
+
 def tile_features_raster(tiles_rgb):
     """Weighted-DCT YUV features in (c, v, u) raster layout (no zigzag);
     tiles_rgb [..., 8, 8, 3] -> [..., 192]."""
@@ -83,8 +102,13 @@ def tile_features_raster(tiles_rgb):
 
 @functools.partial(jax.jit, static_argnames=("radius",))
 def motion_search_batch(cur_rgb, prev_rgb, radius: int):
-    """Batched motion search over leading frame axis [B, H, W, 3]."""
-    return jax.vmap(lambda a, b: _motion_core(a, b, radius))(cur_rgb, prev_rgb)
+    """Batched motion search over leading frame axis [B, H, W, 3].
+
+    lax.map (scan) instead of vmap: the rank core is a Pallas kernel and
+    per-frame sequencing also bounds the transient field memory."""
+    return jax.lax.map(
+        lambda ab: _motion_core(ab[0], ab[1], radius), (cur_rgb, prev_rgb)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
@@ -102,91 +126,138 @@ def _motion_core(cur_rgb, prev_rgb, radius: int):
     H, W = cur_rgb.shape[0], cur_rgb.shape[1]
     th, tw = H // TILE_W, W // TILE_W
     R = int(radius)
-    Q = -(-R // TILE_W)  # blocks per side
+    # blocks per side, rounded up to a power of two: the rank kernel's
+    # grouped output stores need (2Q)^2 divisible by 8 (or <= 8); the
+    # penalty table masks the exact [-R, R-1] square regardless
+    Q = 1
+    while Q * TILE_W < R:
+        Q *= 2
     P = Q * TILE_W
 
     # tile features of current frame (natural orientation = raw frame)
     cur = cur_rgb.astype(jnp.float32).reshape(th, TILE_W, tw, TILE_W, 3).swapaxes(1, 2)
     T = tile_features_raster(cur)  # [th, tw, 192]
-    T2 = jnp.sum(T * T, axis=-1)  # [th, tw]
 
-    # window field of previous frame + norms
-    F = window_dct_field(prev_rgb)  # [H-7, W-7, 192]
-    N2 = jnp.sum(F * F, axis=-1)  # [H-7, W-7]
+    # window field of previous frame — bf16: ranking only (the winner's
+    # error is recomputed exactly from pixels below)
+    F = _window_field_bf16(prev_rgb)  # [H-7, W-7, 192] bf16
+
+    # center both sides by the mean tile feature: |T - W|^2 is invariant,
+    # but the DC energy leaves the cross terms/norms, so the bf16 einsum
+    # output (rounded at 0.4% of |D|) stops quantizing candidate gaps away
+    mu = jnp.mean(T.reshape(-1, K), axis=0)
+    Tc = T - mu
+    T2 = jnp.sum(Tc * Tc, axis=-1)  # [th, tw]
+    Fc = (F.astype(jnp.float32) - mu).astype(jnp.bfloat16)
+    N2 = jnp.sum(Fc.astype(jnp.float32) * Fc.astype(jnp.float32), axis=-1)
 
     # pad to phase grid: field index = tile_pixel_pos + offset + P
     ph = (-(H - 7 + 2 * P)) % TILE_W
     pw = (-(W - 7 + 2 * P)) % TILE_W
-    Fp = jnp.pad(F, ((P, P + ph), (P, P + pw), (0, 0)))
+    Fp = jnp.pad(Fc, ((P, P + ph), (P, P + pw), (0, 0)))
     N2p = jnp.pad(N2, ((P, P + ph), (P, P + pw)), constant_values=jnp.inf)
     mh = Fp.shape[0] // TILE_W
     mw = Fp.shape[1] // TILE_W
-    # Fblk[m, n, sy, sx, k] = Fp[8m+sy, 8n+sx, k]; bf16 — the cross terms
-    # only rank candidates (exact winner error recomputed from fp32 Fp
-    # below), and bf16 halves the dominant HBM traffic.
-    Fblk = (
-        Fp.astype(jnp.bfloat16)
-        .reshape(mh, TILE_W, mw, TILE_W, K)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(mh, mw, 64, K)
-    )
-    N2blk = N2p.reshape(mh, TILE_W, mw, TILE_W).transpose(0, 2, 1, 3)
+    NQ = 2 * Q
+    from ..kernels.motion_rank import make_penalty, motion_rank
 
-    # Cross terms, REVERSED: for each field block (m, n), one matmul against
-    # its 2Q x 2Q neighbor tiles reads the (big) field exactly once —
-    # D[m, n, s, q] = Fblk[m, n, s, :] . T[m - qy, n - qx, :]
-    # (the shift-major formulation re-reads the field 4Q^2 times).
-    Tb = T.astype(jnp.bfloat16)
-    tpad = jnp.pad(Tb, ((2 * Q - 1, mh - th), (2 * Q - 1, mw - tw), (0, 0)))
-    neigh = jnp.stack(
-        [
-            tpad[2 * Q - 1 - qy : 2 * Q - 1 - qy + mh, 2 * Q - 1 - qx : 2 * Q - 1 - qx + mw]
-            for qy in range(2 * Q)
-            for qx in range(2 * Q)
-        ],
-        axis=2,
-    )  # [mh, mw, 4Q^2, K]
-    D = jnp.einsum(
-        "mnsk,mnqk->mnsq", Fblk, neigh, preferred_element_type=jnp.float32
-    )  # [mh, mw, 64(s), 4Q^2(q)]
+    pen_np = make_penalty(R, P)  # [64(s), NQ^2(q)] +inf masked
+    Tb = Tc.astype(jnp.bfloat16)
+    tpad = jnp.pad(Tb, ((NQ - 1, mh - th), (NQ - 1, mw - tw), (0, 0)))
 
-    # gather back to tile-major: err[i, j, qy, qx, sy, sx]
-    rows = []
-    for qy in range(2 * Q):
-        cols = []
-        for qx in range(2 * Q):
-            C = D[qy : qy + th, qx : qx + tw, :, qy * 2 * Q + qx].reshape(
-                th, tw, TILE_W, TILE_W
-            )
-            Nw = N2blk[qy : qy + th, qx : qx + tw]
-            cols.append(T2[:, :, None, None] - 2.0 * C + Nw)
-        rows.append(jnp.stack(cols, axis=2))  # [th, tw, 2Q, 8, 8]
-    err = jnp.stack(rows, axis=2)  # [th, tw, 2Q(qy), 2Q(qx), 8(sy), 8(sx)]
+    if os.environ.get("TILER_TPU_MOTION") == "pallas" and jax.default_backend() != "cpu":
+        # fused Pallas rank kernel (kernels/motion_rank.py). Correct but
+        # VPU-bound: Mosaic cannot lower this contraction's batched matmul
+        # (batch dims must share positions and the per-position rhs layout
+        # is unbuildable in VMEM), so the XLA hybrid below — whose einsum
+        # DOES hit the MXU — is the default.
+        Fblk = (
+            Fp.reshape(mh, TILE_W, mw, TILE_W, K)
+            .transpose(0, 1, 3, 4, 2)
+            .reshape(mh, 64, K, mw)
+        )
+        N2blk = (
+            N2p.reshape(mh, TILE_W, mw, TILE_W)
+            .transpose(0, 1, 3, 2)
+            .reshape(mh, 64, mw)
+        )
+        minv, args = motion_rank(Fblk, tpad.transpose(0, 2, 1), N2blk,
+                                 jnp.asarray(pen_np))
+        best = jnp.full((th, tw), jnp.inf, jnp.float32)
+        bestq = jnp.zeros((th, tw), jnp.int32)
+        bests = jnp.zeros((th, tw), jnp.int32)
+        for qy in range(NQ):
+            for qx in range(NQ):
+                qi = qy * NQ + qx
+                v = minv[qy : qy + th, qi, qx : qx + tw]
+                a = args[qy : qy + th, qi, qx : qx + tw]
+                upd = v < best
+                best = jnp.where(upd, v, best)
+                bestq = jnp.where(upd, qi, bestq)
+                bests = jnp.where(upd, a, bests)
+    else:
+        # XLA hybrid. Measured constraints on v5e that shape this code:
+        # fp32-OUTPUT batched einsum is ~125x slower than bf16-output
+        # (1.8s vs 14ms/frame), and wide fp32 argmin is ~13x slower than
+        # bf16. So: bf16 einsum, and the error tensor keeps the per-tile
+        # |T|^2 term so its values sit near the TRUE squared distance —
+        # bf16's 0.4% RELATIVE rounding then barely perturbs ranking
+        # (dropping T2 re-centers values at +-1e7 and quantizes candidate
+        # gaps away). The winner's error is recomputed exactly below.
+        Fblk = (
+            Fp.reshape(mh, TILE_W, mw, TILE_W, K)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(mh, mw, 64, K)
+        )
+        N2blk = (
+            N2p.reshape(mh, TILE_W, mw, TILE_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(mh, mw, 64)
+        )
+        neigh = jnp.stack(
+            [
+                tpad[NQ - 1 - qy : NQ - 1 - qy + mh, NQ - 1 - qx : NQ - 1 - qx + mw]
+                for qy in range(NQ)
+                for qx in range(NQ)
+            ],
+            axis=2,
+        )  # [mh, mw, NQ^2, K]
+        D = jnp.einsum(
+            "mnsk,mnqk->mnqs", Fblk, neigh, preferred_element_type=jnp.bfloat16
+        )  # [mh, mw, NQ^2(q), 64(s)] — q-major: per-q slices keep s contiguous
+        pieces = []
+        for qy in range(NQ):
+            for qx in range(NQ):
+                qi = qy * NQ + qx
+                e = (
+                    T2[:, :, None]
+                    - 2.0 * D[qy : qy + th, qx : qx + tw, qi].astype(jnp.float32)
+                    + N2blk[qy : qy + th, qx : qx + tw]
+                    + jnp.asarray(pen_np[:, qi])
+                )
+                pieces.append(e.astype(jnp.bfloat16))
+        err = jnp.stack(pieces, axis=2)  # [th, tw, NQ^2, 64]
+        flat = err.reshape(th, tw, NQ * NQ * 64)
+        bestflat = jnp.argmin(flat, axis=-1)
+        bestq = (bestflat // 64).astype(jnp.int32)
+        bests = (bestflat % 64).astype(jnp.int32)
+    best_oy = ((bestq // NQ) * TILE_W - P + bests // TILE_W).astype(jnp.int32)
+    best_ox = ((bestq % NQ) * TILE_W - P + bests % TILE_W).astype(jnp.int32)
 
-    # offsets and penalties
-    q = np.arange(2 * Q) * TILE_W - P
-    s = np.arange(TILE_W)
-    oy = (q[:, None] + s[None, :]).reshape(-1)  # [2Q*8] raster (qy, sy)
-    valid = (oy >= -R) & (oy <= R - 1)
-    # reorder err axes to [th, tw, (qy,sy), (qx,sx)] raster offsets
-    err = err.transpose(0, 1, 2, 4, 3, 5).reshape(th, tw, 2 * Q * TILE_W, 2 * Q * TILE_W)
-    oyv = jnp.asarray(oy, jnp.float32)
-    pen = jnp.abs(oyv)[:, None] + jnp.abs(oyv)[None, :]
-    mask = jnp.asarray(valid)[:, None] & jnp.asarray(valid)[None, :]
-    err = jnp.where(mask, err + pen, jnp.inf)
-
-    flat = err.reshape(th, tw, -1)
-    best = jnp.argmin(flat, axis=-1)
-    n_off = 2 * Q * TILE_W
-    best_oy = jnp.asarray(oy)[best // n_off].astype(jnp.int32)
-    best_ox = jnp.asarray(oy)[best % n_off].astype(jnp.int32)
-
-    # The norm expansion loses ~4 digits to cancellation when the match is
-    # good (norms ~1e7, distances ~1e3): recompute the winner's error
-    # exactly with a direct gather of its window feature vector.
-    ti = jnp.arange(th, dtype=jnp.int32)[:, None] * TILE_W + best_oy + P
-    tj = jnp.arange(tw, dtype=jnp.int32)[None, :] * TILE_W + best_ox + P
-    Wv = Fp[ti.reshape(-1), tj.reshape(-1)]  # [th*tw, 192]
+    # The bf16 norm expansion only ranks: recompute the winner's error
+    # exactly from pixels in fp32. Patch gathers are pathological on TPU
+    # (~15us per 8x8x3 window); an im2row of the previous frame (8 static
+    # shifted slices) turns this into contiguous row gathers — 13x faster.
+    wy = jnp.arange(th, dtype=jnp.int32)[:, None] * TILE_W + best_oy  # [th, tw]
+    wx = jnp.arange(tw, dtype=jnp.int32)[None, :] * TILE_W + best_ox
+    wyc = jnp.clip(wy, 0, H - TILE_W).reshape(-1)
+    wxc = jnp.clip(wx, 0, W - TILE_W).reshape(-1)
+    prevf = prev_rgb.astype(jnp.float32)
+    R1 = jnp.stack(
+        [prevf[:, dx : dx + W - 7] for dx in range(TILE_W)], axis=2
+    )  # [H, W-7, 8(dx), 3]
+    win = R1[wyc[:, None] + jnp.arange(TILE_W)[None, :], wxc[:, None]]  # [n,8,8,3]
+    Wv = tile_features_raster(win)  # [th*tw, 192] fp32
     diff = T.reshape(-1, K) - Wv
     exact = jnp.sum(diff * diff, axis=-1).reshape(th, tw)
     exact = exact + jnp.abs(best_oy).astype(jnp.float32) + jnp.abs(best_ox).astype(jnp.float32)
