@@ -145,41 +145,59 @@ def tk_dither_pallas(tiles_rgb_u8, pal_initial, pal_rgb, pal_valid, bayer,
     tiles_rgb_u8 [T,8,8,3] uint8 (device); pal_initial [T] int32;
     pal_rgb [P,S,3] int; pal_valid [P,S] bool; bayer [T,8,8] int32
     (already mirrored per tile). Returns [T,8,8] uint8 palette indexes.
+
+    All sort/placement bookkeeping runs at TILE granularity (a block is
+    exactly BLK/64 tiles): the previous pixel-granularity placement
+    (searchsorted + gathers + scatters over ~8M pixels) cost ~1s at
+    P=1024 — ~5x the kernel itself. Tile-level it is [T]-sized index
+    math plus two contiguous row gathers.
     """
     T = tiles_rgb_u8.shape[0]
     P, S = pal_rgb.shape[0], pal_rgb.shape[1]
-    M = T * 64
-    pix = tiles_rgb_u8.reshape(M, 3).astype(jnp.int32)
-    ppx = jnp.repeat(jnp.asarray(pal_initial, jnp.int32), 64)
-    mapv = jnp.asarray(bayer, jnp.int32).reshape(M)
+    TPB = BLK // 64  # tiles per kernel block
+    pal_initial = jnp.asarray(pal_initial, jnp.int32)
 
-    # sort pixels by palette; pad each palette's run to a BLK multiple
-    order = jnp.argsort(ppx, stable=True)
-    counts = jnp.bincount(ppx, length=P)
-    padded = -(-counts // BLK) * BLK
+    # tile destinations: palettes sorted, each palette's tile run padded
+    # to a block multiple so every block serves exactly one palette
+    order_t = jnp.argsort(pal_initial, stable=True)  # [T]
+    counts = jnp.bincount(pal_initial, length=P)
+    padded = -(-counts // TPB) * TPB
     padded_starts = jnp.concatenate([jnp.zeros(1, padded.dtype), jnp.cumsum(padded)[:-1]])
     sorted_starts = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]])
-    # Mpad is data-dependent; static worst case: each palette wastes < BLK.
-    # Bucket to a power-of-two block count so the kernel compiles once per
-    # size class instead of once per corpus size (padded blocks compute
-    # garbage that is discarded — the kernel is ~14ms for 2.5k blocks).
-    mpad = int(-(-M // BLK) * BLK) + (P - 1) * BLK
-    nblk_needed = mpad // BLK
-    nblk_bucket = 1
-    while nblk_bucket < nblk_needed:
-        nblk_bucket *= 2
-    mpad = nblk_bucket * BLK
-    pos = jnp.arange(mpad)
-    q = jnp.clip(jnp.searchsorted(padded_starts, pos, side="right") - 1, 0, P - 1)
-    off = pos - padded_starts[q]
-    valid_pos = (off >= 0) & (off < counts[q])
-    src = jnp.where(valid_pos, sorted_starts[q] + jnp.clip(off, 0, jnp.maximum(counts[q] - 1, 0)), 0)
-    gather = order[src]
+    spx = pal_initial[order_t]  # sorted palette ids [T]
+    dst_t = padded_starts[spx] + (jnp.arange(T) - sorted_starts[spx])
 
-    pix4 = jnp.zeros((4, mpad), jnp.int32)
-    pix4 = pix4.at[:3].set(jnp.where(valid_pos[None], pix[gather].T, 0))
-    pix4 = pix4.at[3].set(jnp.where(valid_pos, mapv[gather], 0))
-    block_pal = q[::BLK].astype(jnp.int32)
+    # static padded size, bucketed (256-block classes) to bound compiles
+    nblk_needed = (-(-T // TPB)) + (P - 1)  # worst case: every run padded
+    nblk = -(-nblk_needed // 256) * 256
+    tpad_n = nblk * TPB
+
+    # inverse placement: src tile for each padded slot (T = zero trash)
+    src_t = jnp.full(tpad_n, T, jnp.int32).at[dst_t].set(order_t.astype(jnp.int32))
+    valid_t = src_t < T
+    tiles_g = jnp.concatenate(
+        [tiles_rgb_u8.reshape(T, 192), jnp.zeros((1, 192), tiles_rgb_u8.dtype)]
+    )[src_t]  # [tpad_n, 192] row gather
+    bayer_g = jnp.concatenate(
+        [jnp.asarray(bayer, jnp.int32).reshape(T, 64), jnp.zeros((1, 64), jnp.int32)]
+    )[src_t]
+
+    pix4 = jnp.stack(
+        [
+            tiles_g.reshape(tpad_n, 64, 3)[:, :, 0].reshape(-1).astype(jnp.int32),
+            tiles_g.reshape(tpad_n, 64, 3)[:, :, 1].reshape(-1).astype(jnp.int32),
+            tiles_g.reshape(tpad_n, 64, 3)[:, :, 2].reshape(-1).astype(jnp.int32),
+            bayer_g.reshape(-1),
+        ],
+        axis=0,
+    )  # [4, tpad_n*64]
+
+    # block palette: palette of the run each block belongs to (padding
+    # blocks resolve to some valid palette; their output is discarded)
+    block_starts = jnp.arange(nblk) * TPB
+    q_b = jnp.clip(
+        jnp.searchsorted(padded_starts, block_starts, side="right") - 1, 0, P - 1
+    ).astype(jnp.int32)
 
     lum = (
         pal_rgb[..., 0] * RED_MUL + pal_rgb[..., 1] * GREEN_MUL + pal_rgb[..., 2] * BLUE_MUL
@@ -189,9 +207,9 @@ def tk_dither_pallas(tiles_rgb_u8, pal_initial, pal_rgb, pal_valid, bayer,
     table = table.at[..., 3].set(lum.astype(jnp.int32))
     table = table.at[..., 4].set(jnp.asarray(pal_valid, jnp.int32))
 
-    sel_sorted = tk_select(pix4, block_pal, table, S, interpret=interpret)
+    sel_sorted = tk_select(pix4, q_b, table, S, interpret=interpret)
 
-    # scatter back; padding slots write to a trash slot M
-    tgt = jnp.where(valid_pos, gather, M)
-    out = jnp.zeros(M + 1, jnp.int32).at[tgt].set(sel_sorted)[:M]
+    # un-permute: dst_t[i] is where SORTED tile i landed; index by tile id
+    dst_by_tile = jnp.zeros(T, jnp.int32).at[order_t].set(dst_t.astype(jnp.int32))
+    out = sel_sorted.reshape(tpad_n, 64)[dst_by_tile]  # [T, 64]
     return out.reshape(T, 8, 8).astype(jnp.uint8)
