@@ -385,7 +385,21 @@ struct Encoder {
     const u8* a = data + pos;
     const u8* b = a - dist - 1;
     u32 maxl = (u32)((n - pos < kMaxLen) ? (n - pos) : kMaxLen);
+    return extend(a, b, maxl);
+  }
+
+  // match extension 8 bytes at a time (the byte loop was ~40% of encode
+  // time on long tile runs)
+  static u32 extend(const u8* a, const u8* b, u32 maxl) {
     u32 l = 0;
+    while (l + 8 <= maxl) {
+      uint64_t xa, xb;
+      memcpy(&xa, a + l, 8);
+      memcpy(&xb, b + l, 8);
+      uint64_t x = xa ^ xb;
+      if (x) return l + (u32)(__builtin_ctzll(x) >> 3);
+      l += 8;
+    }
     while (l < maxl && a[l] == b[l]) l++;
     return l;
   }
@@ -404,8 +418,7 @@ struct Encoder {
       const u8* a = data + pos;
       const u8* b = data + cand;
       if (best_len == 0 || b[best_len] == a[best_len]) {
-        u32 l = 0;
-        while (l < maxl && a[l] == b[l]) l++;
+        u32 l = extend(a, b, maxl);
         if (l > best_len) {
           best_len = l;
           best_dist = dist;
@@ -534,8 +547,7 @@ struct Encoder {
       const u8* a = data + pos;
       const u8* b = data + cand;
       if (b[best] == a[best]) {
-        u32 l = 0;
-        while (l < maxl && a[l] == b[l]) l++;
+        u32 l = extend(a, b, maxl);
         if (l > best) {
           lens[cnt] = l;
           dists[cnt] = (u32)(pos - cand - 1);
@@ -619,6 +631,9 @@ struct Encoder {
     u32 mlens[64], mdists[64];
 
     size_t pos = 0;
+    size_t skip_mf_until = 0;  // long-run fast path: positions inside a
+    // found long match skip the match finder (rep relaxes still run, so
+    // the DP stays connected); LzmaEnc's numFastBytes skip analog
     while (pos < n) {
       int B = (int)((n - pos < (size_t)W) ? (n - pos) : (size_t)W);
       refresh_price_tables();
@@ -657,8 +672,10 @@ struct Encoder {
                 (u8)(st < 7 ? 9 : 11), nd.reps);
         }
         // rep matches
+        u32 max_l_here = 0;
         for (int r = 0; r < 4; r++) {
           u32 L = match_len(data, n, ap, nd.reps[r]);
+          if (L > max_l_here) max_l_here = L;
           if (L > (u32)(B - i)) L = (u32)(B - i);
           if (L < 2) continue;
           u32 nreps[4];
@@ -678,9 +695,17 @@ struct Encoder {
           for (u32 len = (L > 40 ? L - 1 : L + 1); len <= L; len++)
             relax(i + (int)len, base + rlp[len], len, (u32)r, nst, nreps);
         }
-        // normal matches
-        int nc = collect_matches(data, n, ap, mlens, mdists, 64);
+        // normal matches (skipped inside long runs)
+        int nc = 0;
+        if (ap >= skip_mf_until)
+          nc = collect_matches(data, n, ap, mlens, mdists, 64);
         insert(data, n, ap);
+        if (nc) {
+          u32 lm = mlens[nc - 1];
+          if (lm > max_l_here) max_l_here = lm;
+        }
+        if (max_l_here >= 32 && ap + max_l_here > skip_mf_until + 8)
+          skip_mf_until = ap + max_l_here - 8;
         u32 prev_len = 1;
         for (int c = 0; c < nc; c++) {
           u32 L = mlens[c];
@@ -751,6 +776,9 @@ struct Encoder {
     rc.out = &out;
 
     size_t pos = 0;
+    size_t skip_mf_until = 0;  // long-run fast path: positions inside a
+    // found long match skip the match finder (rep relaxes still run, so
+    // the DP stays connected); LzmaEnc's numFastBytes skip analog
     while (pos < n) {
       u32 pos_state = (u32)pos & pb_mask;
 

@@ -63,8 +63,12 @@ def get_lib():
 
 
 def lzma_compress(data: bytes, lc: int = 8, lp: int = 0, pb: int = 2,
-                  dict_size: int = 1 << 25, depth: int = -8) -> bytes:
-    """depth > 0: greedy/lazy; depth < 0: optimal parse, chain |depth|."""
+                  dict_size: int = 1 << 25, depth: int = -2) -> bytes:
+    """depth > 0: greedy/lazy; depth < 0: optimal parse, chain |depth|.
+
+    Default -2: on GTM payloads, chain depth 2 under the optimal parse
+    measures SMALLER than depth 8 (44.81% vs 44.87%) and ~2x faster —
+    the DP dominates, extra chain candidates add almost nothing."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native lzma unavailable")
