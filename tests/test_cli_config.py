@@ -120,3 +120,54 @@ def test_cli_step_ranges_with_checkpoints(tmp_path):
     from tiler_tpu.bitstream.gtm import GTMDecoder
 
     assert len(GTMDecoder(str(out)).decode_frames()) == 4
+
+
+def test_mediancut_quantizer_e2e(tmp_path):
+    """color_quantizer="mediancut" (dlquant DL1/DL3 role) produces a
+    playable stream end to end."""
+    import numpy as np
+    from tiler_tpu.bitstream.gtm import GTMDecoder
+    from tiler_tpu.config import EncoderSettings
+    from tiler_tpu.pipeline.encoder import Encoder
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 255, (48, 64, 3)).astype(np.uint8)
+    clip = np.stack([np.roll(base, (2 * f, f), (0, 1)) for f in range(4)])
+    s = EncoderSettings(
+        palette_count=4, motion_predict_radius=4, epu_knn_k=4,
+        global_tiling_quality_based_tile_count=2.0, kmeans_iters=4,
+        color_quantizer="mediancut",
+    )
+    out = str(tmp_path / "mc.gtm")
+    Encoder(s, log=lambda *a: None).run_all(clip, fps=24.0, out_path=out)
+    frames = GTMDecoder(out).decode_frames()
+    assert len(frames) == 4
+
+
+def test_int16_features_and_predicted_tileset_modes(tmp_path):
+    """int16_features and count_predicted_tiles flags encode playable
+    streams; the parity TileSet accounting never shrinks the stream."""
+    import numpy as np
+    from tiler_tpu.bitstream.gtm import GTMDecoder
+    from tiler_tpu.config import EncoderSettings
+    from tiler_tpu.pipeline.encoder import Encoder
+
+    rng = np.random.RandomState(9)
+    base = rng.randint(0, 255, (48, 64, 3)).astype(np.uint8)
+    clip = np.stack([np.roll(base, (f, 2 * f), (0, 1)) for f in range(5)])
+
+    def enc(**kw):
+        s = EncoderSettings(
+            palette_count=4, motion_predict_radius=4, epu_knn_k=4,
+            global_tiling_quality_based_tile_count=2.0, kmeans_iters=4, **kw,
+        )
+        out = str(tmp_path / f"m{len(kw)}{list(kw)[0] if kw else 'x'}.gtm")
+        e = Encoder(s, log=lambda *a: None).run_all(clip, fps=24.0, out_path=out)
+        assert len(GTMDecoder(out).decode_frames()) == 5
+        return e.stats.total_bytes
+
+    base_bytes = enc(seed=0x42381337)
+    int16_bytes = enc(int16_features=True)
+    parity_bytes = enc(count_predicted_tiles=True)
+    assert parity_bytes >= base_bytes  # never-emitted tiles only add bytes
+    assert abs(int16_bytes - base_bytes) < 0.2 * base_bytes

@@ -1,0 +1,116 @@
+"""EPU cartesian re-rank vs a scalar float64 oracle (VERDICT round-1
+item: EPU tie-break parity was asserted, not tested).
+
+Oracle semantics (TFrame.Reconstruct EPU loop, tilingencoder.pas:
+1563-1609): for each cell, evaluate every (candidate tile, candidate
+palette) pair's weighted-DCT error of the tile rendered through that
+palette, iterate candidates ascending with strict <, take the first
+minimum. The production path ranks in bf16 and re-evaluates the winner
+exactly, so selections may differ on near-ties — the test requires the
+CHOSEN pair's exact error to match the oracle's optimum within the bf16
+ranking noise, and exact agreement for decisive cases."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tiler_tpu.ops.color import rgb_to_yuv
+from tiler_tpu.ops.dct import DCT_MAT, DCT_WEIGHTS
+from tiler_tpu.pipeline import reconstruct as R
+
+
+def _oracle_features(rgb_tile):
+    """float64 weighted-DCT YUV features, (c, v, u) raster."""
+    yuv = np.asarray(rgb_to_yuv(jnp.asarray(rgb_tile, jnp.float64)))
+    D = np.asarray(DCT_MAT, np.float64)
+    z = np.einsum("vy,yxc,ux->cvu", D, yuv, D)
+    return (z * np.asarray(DCT_WEIGHTS, np.float64)).reshape(192)
+
+
+def test_epu_rank_matches_scalar_oracle():
+    rng = np.random.RandomState(5)
+    B, kk, kp, T, P, S = 24, 6, 6, 40, 8, 16
+    pp = rng.randint(0, S, (T, 8, 8)).astype(np.uint8)
+    palettes = rng.randint(0, 256, (P, S, 3)).astype(np.uint8)
+
+    # cells = rendered corpus tiles + noise so near-perfect matches exist
+    cell_tiles = []
+    srcs = []
+    for b in range(B):
+        t = rng.randint(0, T)
+        p = rng.randint(0, P)
+        srcs.append((t, p))
+        rgb = palettes[p][pp[t]].astype(np.int32)
+        rgb = np.clip(rgb + rng.randint(-6, 7, rgb.shape), 0, 255)
+        cell_tiles.append(rgb)
+    cell_tiles = np.stack(cell_tiles).astype(np.float64)
+
+    feats64 = np.stack([_oracle_features(c) for c in cell_tiles])
+    # candidate sets include the true source pair -> decisive optima exist
+    cand_idx = rng.randint(0, T, (B, kk)).astype(np.int32)
+    cand_pal = rng.randint(0, P, (B, kp)).astype(np.int32)
+    for b, (t, p) in enumerate(srcs):
+        cand_idx[b, rng.randint(kk)] = t
+        cand_pal[b, rng.randint(kp)] = p
+    cand_idx = np.sort(cand_idx, axis=1)
+    cand_pal = np.sort(cand_pal, axis=1)
+
+    # float64 oracle: strict-< first minimum, tile-major palette-minor
+    rf64 = {}
+    for t in range(T):
+        for p in range(P):
+            rf64[(t, p)] = _oracle_features(palettes[p][pp[t]].astype(np.float64))
+    want_err = np.zeros(B)
+    want_tp = []
+    for b in range(B):
+        best, bt, bp_ = np.inf, -1, -1
+        for i in range(kk):
+            for j in range(kp):
+                d = feats64[b] - rf64[(cand_idx[b, i], cand_pal[b, j])]
+                e = float(d @ d)
+                if e < best:
+                    best, bt, bp_ = e, cand_idx[b, i], cand_pal[b, j]
+        want_err[b] = best
+        want_tp.append((bt, bp_))
+
+    # production path
+    from tiler_tpu.pipeline.motion import tile_features_raster
+
+    feats = np.asarray(tile_features_raster(jnp.asarray(cell_tiles, jnp.float32)))
+    G = R._indicator_dcts(pp, S).astype(jnp.bfloat16)
+    pal_yuv = rgb_to_yuv(jnp.asarray(palettes, jnp.float32))
+    t_sel, p_sel, _ = R._epu_rank_all(
+        jnp.asarray(feats), jnp.asarray(cand_idx), jnp.asarray(cand_pal),
+        G, pal_yuv, S, cell_chunk=8,
+    )
+    e_sel = R._exact_choice_err(
+        jnp.asarray(feats), t_sel, p_sel, jnp.asarray(pp), jnp.asarray(palettes)
+    )
+    t_sel, p_sel, e_sel = np.asarray(t_sel), np.asarray(p_sel), np.asarray(e_sel)
+
+    # the chosen pair's exact error can't beat the oracle (fp32 rounding
+    # of ~1e7-scale sums allows ~1 ulp) and must sit within the bf16
+    # ranking noise of the optimum
+    assert np.all(e_sel >= want_err * (1 - 1e-5) - 1e-3)
+    rel = (e_sel - want_err) / np.maximum(want_err, 1.0)
+    assert np.mean(rel < 0.02) >= 0.9, f"selections off-optimum: {rel}"
+    exact_match = np.mean([(t_sel[b], p_sel[b]) == want_tp[b] for b in range(B)])
+    assert exact_match >= 0.7, f"exact pair agreement {exact_match:.2%}"
+
+
+def test_epu_decisive_case_exact():
+    """When one candidate pair renders the cell exactly, it must win."""
+    rng = np.random.RandomState(11)
+    T, P, S, kk = 12, 4, 16, 4
+    pp = rng.randint(0, S, (T, 8, 8)).astype(np.uint8)
+    palettes = rng.randint(0, 256, (P, S, 3)).astype(np.uint8)
+    from tiler_tpu.pipeline.motion import tile_features_raster
+
+    t0, p0 = 7, 2
+    cell = palettes[p0][pp[t0]].astype(np.float32)[None]
+    feats = tile_features_raster(jnp.asarray(cell))
+    cand_idx = jnp.asarray(np.sort([[t0, 1, 3, 9]]).astype(np.int32))
+    cand_pal = jnp.asarray(np.sort([[p0, 0, 1, 3]]).astype(np.int32))
+    G = R._indicator_dcts(pp, S).astype(jnp.bfloat16)
+    pal_yuv = rgb_to_yuv(jnp.asarray(palettes, jnp.float32))
+    t_sel, p_sel, _ = R._epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S, cell_chunk=8)
+    assert int(t_sel[0]) == t0 and int(p_sel[0]) == p0

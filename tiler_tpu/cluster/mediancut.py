@@ -3,8 +3,9 @@
 The reference declares the Dennis Lee DL1/DL3 quantizers as an optional
 palette path (dlquant/quantizer.c, bindings extern.pas:195-196; the
 current snapshot wires yakmo instead, SURVEY.md section 2.2). This is the
-equivalent capability: a deterministic box-cut quantizer selectable via
-EncoderSettings in place of per-palette k-means.
+equivalent capability, selectable via EncoderSettings
+color_quantizer="mediancut" in place of the per-palette k-means
+(pipeline/palettes.py quantization()).
 """
 from __future__ import annotations
 

@@ -54,6 +54,17 @@ class EncoderSettings:
     seed: int = 0x42381337  # CRandomSeed (extern.pas:226)
     epu_pal_k: int = 0  # 0 = full cartesian (reference parity); >0 caps
     # the EPU palette candidates to the top-k tiles' palettes
+    color_quantizer: str = "kmeans"  # per-palette color quantizer:
+    # "kmeans" (yakmo parity) or "mediancut" (the dlquant DL1/DL3 role,
+    # extern.pas:195-196 — deterministic box cuts, host-side)
+    int16_features: bool = False  # round psy-vis features to integers
+    # (SmallInt semantics, tilingencoder.pas:3126) in the motion/
+    # reconstruct EXACT error paths — near-tie selections then match the
+    # reference's quantized distances; ranking stays bf16 either way
+    count_predicted_tiles: bool = False  # reference Reindex parity
+    # (:2012-2030): prediction-overridden cells keep their KNN tile_idx
+    # and count into the TileSet (never emitted as commands — a larger
+    # stream for no fidelity gain; off reproduces our smaller default)
     use_pallas_tk: bool = True  # Pallas Thomas Knoll kernel (falls back to XLA)
     hbm_frames_budget: float = 8e9  # larger videos stream from host RAM
 

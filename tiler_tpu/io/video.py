@@ -23,6 +23,43 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
+class _FrameSink:
+    """Append-only frame store with a preallocated backing array.
+
+    Bounds host RAM to ~one copy of the clip (the reference streams
+    per-frame through FFMPEG callbacks, extern.pas:744-904): frames are
+    written in place; the hint comes from the container size/metadata and
+    the buffer grows geometrically when the hint was low."""
+
+    def __init__(self, capacity_hint: int = 0):
+        self.buf = None
+        self.n = 0
+        self.hint = max(0, int(capacity_hint))
+
+    def append(self, frame: np.ndarray):
+        if self.buf is None:
+            cap = self.hint if self.hint > 0 else 64
+            self.buf = np.empty((cap, *frame.shape), np.uint8)
+        elif self.n == len(self.buf):
+            grown = np.empty(
+                (max(self.n + 64, int(self.n * 1.5)), *self.buf.shape[1:]), np.uint8
+            )
+            grown[: self.n] = self.buf
+            self.buf = grown
+        self.buf[self.n] = frame
+        self.n += 1
+
+    def __len__(self):
+        return self.n
+
+    def array(self) -> np.ndarray:
+        if self.buf is None:
+            raise ValueError("no frames")
+        if self.n == len(self.buf):
+            return self.buf
+        return self.buf[: self.n]  # view, no copy
+
+
 def _scale_frame(f: np.ndarray, scaling: float) -> np.ndarray:
     if scaling == 1.0:
         return f
@@ -62,7 +99,16 @@ def load_y4m(path: str, start_frame: int = 0, frame_count: Optional[int] = None,
         else:
             raise ValueError(f"unsupported y4m colorspace {cs}")
         fsz = sum(h * w for h, w in planes)
-        frames = []
+        # capacity hint from the file size (single-copy ingest: a 2-min
+        # 720p clip is ~8 GB of frames — a transient second copy via
+        # np.stack would double that)
+        data_start = f.tell()
+        total_sz = os.fstat(f.fileno()).st_size
+        est_total = max(0, (total_sz - data_start) // (fsz + 6))
+        cap = est_total - start_frame
+        if frame_count is not None:
+            cap = min(cap, frame_count)
+        frames = _FrameSink(max(cap, 0))
         idx = 0
         while True:
             line = f.readline()
@@ -95,7 +141,7 @@ def load_y4m(path: str, start_frame: int = 0, frame_count: Optional[int] = None,
             idx += 1
             if frame_count is not None and len(frames) >= frame_count:
                 break
-    return np.stack(frames), fps
+    return frames.array(), fps
 
 
 def load_image_sequence(pattern: str, start_frame: int = 0,
@@ -121,33 +167,57 @@ def load_image_sequence(pattern: str, start_frame: int = 0,
 
 def load_ffmpeg(path: str, start_frame: int = 0, frame_count: Optional[int] = None,
                 scaling: float = 1.0) -> Tuple[np.ndarray, float]:
-    """Decode via the ffmpeg binary (rawvideo pipe)."""
+    """Decode via the ffmpeg binary, STREAMING the rawvideo pipe frame by
+    frame into a preallocated array (capturing the whole pipe then
+    copying doubled host RAM — a 2-min 720p clip is ~8 GB of frames)."""
     ffmpeg = shutil.which("ffmpeg")
     ffprobe = shutil.which("ffprobe")
     if ffmpeg is None:
         raise RuntimeError("ffmpeg binary not available")
     W = H = 0
     fps = 24.0
+    nb_frames = 0
     if ffprobe:
         out = subprocess.run(
             [ffprobe, "-v", "quiet", "-select_streams", "v:0", "-show_entries",
-             "stream=width,height,r_frame_rate", "-of", "csv=p=0", path],
+             "stream=width,height,r_frame_rate,nb_frames,duration", "-of",
+             "csv=p=0", path],
             capture_output=True, text=True, check=True,
         ).stdout.strip().split(",")
         W, H = int(out[0]), int(out[1])
         n, d = out[2].split("/")
         fps = float(n) / float(d)
+        if len(out) > 3 and out[3].isdigit():
+            nb_frames = int(out[3])
+        elif len(out) > 4:
+            try:
+                nb_frames = int(float(out[4]) * fps) + 2
+            except ValueError:
+                pass
     vf = []
     if scaling != 1.0:
         W, H = max(1, round(W * scaling)), max(1, round(H * scaling))
         vf = ["-vf", f"scale={W}:{H}:flags=lanczos"]
     cmd = [ffmpeg, "-v", "quiet", "-i", path, *vf, "-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
-    raw = subprocess.run(cmd, capture_output=True, check=True).stdout
-    frames = np.frombuffer(raw, np.uint8).reshape(-1, H, W, 3)
-    frames = frames[start_frame:]
-    if frame_count is not None:
-        frames = frames[:frame_count]
-    return frames.copy(), fps
+    fsz = H * W * 3
+    cap = max(0, nb_frames - start_frame)
+    if frame_count is not None and cap:
+        cap = min(cap, frame_count)
+    sink = _FrameSink(cap)
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+    try:
+        idx = 0
+        while frame_count is None or len(sink) < frame_count:
+            raw = proc.stdout.read(fsz)
+            if len(raw) < fsz:
+                break
+            if idx >= start_frame:
+                sink.append(np.frombuffer(raw, np.uint8).reshape(H, W, 3))
+            idx += 1
+    finally:
+        proc.stdout.close()
+        proc.wait()
+    return sink.array(), fps
 
 
 def load_video(path: str, start_frame: int = 0, frame_count: Optional[int] = None,

@@ -100,23 +100,23 @@ def tile_features_raster(tiles_rgb):
     return z.reshape(*z.shape[:-3], K)
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def motion_search_batch(cur_rgb, prev_rgb, radius: int):
+@functools.partial(jax.jit, static_argnames=("radius", "int16"))
+def motion_search_batch(cur_rgb, prev_rgb, radius: int, int16: bool = False):
     """Batched motion search over leading frame axis [B, H, W, 3].
 
     lax.map (scan) instead of vmap: the rank core is a Pallas kernel and
     per-frame sequencing also bounds the transient field memory."""
     return jax.lax.map(
-        lambda ab: _motion_core(ab[0], ab[1], radius), (cur_rgb, prev_rgb)
+        lambda ab: _motion_core(ab[0], ab[1], radius, int16), (cur_rgb, prev_rgb)
     )
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def motion_search(cur_rgb, prev_rgb, radius: int):
-    return _motion_core(cur_rgb, prev_rgb, radius)
+@functools.partial(jax.jit, static_argnames=("radius", "int16"))
+def motion_search(cur_rgb, prev_rgb, radius: int, int16: bool = False):
+    return _motion_core(cur_rgb, prev_rgb, radius, int16)
 
 
-def _motion_core(cur_rgb, prev_rgb, radius: int):
+def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False):
     """Full-frame motion search of cur against prev.
 
     cur_rgb/prev_rgb: [H, W, 3] float or uint8 (H, W multiples of 8).
@@ -137,6 +137,8 @@ def _motion_core(cur_rgb, prev_rgb, radius: int):
     # tile features of current frame (natural orientation = raw frame)
     cur = cur_rgb.astype(jnp.float32).reshape(th, TILE_W, tw, TILE_W, 3).swapaxes(1, 2)
     T = tile_features_raster(cur)  # [th, tw, 192]
+    if int16:  # SmallInt feature semantics (tilingencoder.pas:3126)
+        T = jnp.round(T)
 
     # window field of previous frame — bf16: ranking only (the winner's
     # error is recomputed exactly from pixels below)
@@ -258,6 +260,8 @@ def _motion_core(cur_rgb, prev_rgb, radius: int):
     )  # [H, W-7, 8(dx), 3]
     win = R1[wyc[:, None] + jnp.arange(TILE_W)[None, :], wxc[:, None]]  # [n,8,8,3]
     Wv = tile_features_raster(win)  # [th*tw, 192] fp32
+    if int16:
+        Wv = jnp.round(Wv)
     diff = T.reshape(-1, K) - Wv
     exact = jnp.sum(diff * diff, axis=-1).reshape(th, tw)
     exact = exact + jnp.abs(best_oy).astype(jnp.float32) + jnp.abs(best_ox).astype(jnp.float32)

@@ -123,12 +123,26 @@ def quantization(state: EncodeState, settings: EncoderSettings,
     cols, wts, npix_d = _sample_member_pixels(corpus, pidx, P, color_cap, key)
     npix = np.asarray(npix_d).astype(np.int64)
 
-    def one(colors, weights, seed):
-        c, _, _ = _kmeans_small(colors, weights, S, settings.kmeans_iters, seed)
-        return c
+    if settings.color_quantizer == "mediancut":
+        # dlquant DL1/DL3 role (extern.pas:195-196): deterministic
+        # median-cut boxes instead of per-palette k-means
+        from ..cluster.mediancut import median_cut
 
-    seeds = jnp.arange(P) + settings.seed
-    cents = np.asarray(jax.jit(jax.vmap(one))(cols, wts, seeds))  # [P, S, 3]
+        cols_h = np.asarray(cols)
+        wts_h = np.asarray(wts)
+        cents = np.stack(
+            [
+                median_cut(cols_h[p][wts_h[p] > 0], wts_h[p][wts_h[p] > 0], S)
+                for p in range(P)
+            ]
+        ).astype(np.float64)
+    else:
+        def one(colors, weights, seed):
+            c, _, _ = _kmeans_small(colors, weights, S, settings.kmeans_iters, seed)
+            return c
+
+        seeds = jnp.arange(P) + settings.seed
+        cents = np.asarray(jax.jit(jax.vmap(one))(cols, wts, seeds))  # [P, S, 3]
 
     rgb = np.clip(np.round(np.nan_to_num(cents)), 0, 255).astype(np.int64)
     rgb = posterize(rgb, 255)  # identity at 8bpc (cBitsPerComp, :4552)

@@ -39,7 +39,8 @@ def predict_motion(state: EncodeState, settings: EncoderSettings) -> EncodeState
     for i in range(0, F, chunk):
         j = min(F, i + chunk)
         oy, ox, err = motion_search_batch(
-            jnp.asarray(frames[i:j]), jnp.asarray(frames[refs[i:j]]), R
+            jnp.asarray(frames[i:j]), jnp.asarray(frames[refs[i:j]]), R,
+            settings.int16_features,
         )
         outs.append((oy, ox, euclidean_to_psnr(err)))
     oy = np.concatenate([np.asarray(o[0]).reshape(-1, N) for o in outs])

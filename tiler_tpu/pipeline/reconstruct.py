@@ -26,10 +26,13 @@ Decision parity (:1614-1654): prediction is "perfect" when
 mpErr <= 192 (skip KNN); otherwise KNN wins only when
 knnErr < mpErr - 192 (CompareValue with cTileDCTSize tolerance).
 
-Deviations: float32 exact distances instead of int16-quantized features;
-predicted cells do not retain their KNN tile_idx (the reference lets
-Reindex count never-emitted tiles into the TileSet, :2012-2030 — dropping
-them only shrinks the stream).
+Deviations (both flag-controlled, A/B numbers in docs/PERF.md):
+  - float32 exact distances instead of int16-quantized features;
+    settings.int16_features rounds features at every exact-error site
+    (SmallInt semantics, tilingencoder.pas:3126).
+  - predicted cells drop their KNN tile_idx by default (the reference
+    lets Reindex count never-emitted tiles into the TileSet,
+    :2012-2030); settings.count_predicted_tiles restores that.
 """
 from __future__ import annotations
 
@@ -195,6 +198,11 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
         jnp.asarray(state.corpus_pal_pixels),
     )
     dsj = tile_features_raster(rendered.astype(jnp.float32))  # [T, 192] device
+    if settings.int16_features:
+        # SmallInt feature semantics (tilingencoder.pas:3126); distances
+        # then quantize like the reference's int16 kd-tree (sums accumulate
+        # in fp32, so very large errors lose the low bits int64 would keep)
+        dsj = jnp.round(dsj)
     T = int(dsj.shape[0])
 
     ds_sharded = None
@@ -235,6 +243,8 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
         f1 = min(F, f0 + group)
         tiles = jnp.asarray(state.tiles_canon[f0:f1], jnp.float32)
         feats = tile_features_raster(tiles.reshape(-1, 8, 8, 3))
+        if settings.int16_features:
+            feats = jnp.round(feats)
         if ds_sharded is not None:
             from ..parallel.knn import sharded_topk
 
@@ -259,7 +269,8 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
                 feats, cand_idx, cand_pal, G, pal_yuv,
                 settings.palette_size, cell_chunk=cell_chunk,
             )
-            e = _exact_choice_err(feats, t, p, pp_dev, palettes_dev)
+            e = _exact_choice_err(feats, t, p, pp_dev, palettes_dev,
+                                  int16=settings.int16_features)
             dev_outs.append((t, p, e))
     row = 0
     for t, p, e in dev_outs:
@@ -271,18 +282,21 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
     return best_tile, best_pal, best_err
 
 
-@jax.jit
-def _exact_choice_err(feats, tile, pal, pp, palettes):
+@functools.partial(jax.jit, static_argnames=("int16",))
+def _exact_choice_err(feats, tile, pal, pp, palettes, int16: bool = False):
     """Exact fp32 error of the chosen (tile, palette) per cell."""
     rgb = palettes[pal[:, None, None], pp[tile]].astype(jnp.float32)
     rf = tile_features_raster(rgb).reshape(-1, K)
+    if int16:
+        rf = jnp.round(rf)
     d = feats - rf
     return jnp.sum(d * d, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "th", "tw"))
+@functools.partial(jax.jit, static_argnames=("radius", "th", "tw", "int16"))
 def _phase_b_scan(frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start,
-                  pp, palettes, radius: int, th: int, tw: int):
+                  pp, palettes, radius: int, th: int, tw: int,
+                  int16: bool = False):
     """Sequential selection/render scan over frames, carry = back buffer.
 
     frames_u8 [F,H,W,3] uint8; knn_* [F,N]; hm/vm [F,N] bool;
@@ -297,7 +311,7 @@ def _phase_b_scan(frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start,
         cur = frame.astype(jnp.float32)
         if radius >= 1:
             def do_search(_):
-                oy, ox, e = _motion_core(cur, back, radius)
+                oy, ox, e = _motion_core(cur, back, radius, int16)
                 return oy.reshape(N), ox.reshape(N), e.reshape(N)
 
             def no_search(_):
@@ -392,6 +406,7 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
             hm_dev[idx_dev], vm_dev[idx_dev],
             jnp.asarray(kf_start_v),
             pp_dev, pal_dev, R, th, tw,
+            settings.int16_features,
         )
         outs.append((L, res))
     oy = np.concatenate([np.asarray(r[0])[:L] for L, r in outs])
@@ -402,8 +417,14 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
     tm.predicted = use_pred
     tm.pred_y = oy.astype(np.int16)
     tm.pred_x = ox.astype(np.int16)
-    tm.tile_idx = np.where(~use_pred, knn_tile.astype(np.int64), -1)
-    tm.pal_idx = np.where(~use_pred, knn_pal, -1)
+    if settings.count_predicted_tiles:
+        # reference parity: predicted cells keep their KNN choice so
+        # Reindex counts it into the TileSet (tilingencoder.pas:2012-2030)
+        tm.tile_idx = knn_tile.astype(np.int64)
+        tm.pal_idx = knn_pal.astype(np.int64)
+    else:
+        tm.tile_idx = np.where(~use_pred, knn_tile.astype(np.int64), -1)
+        tm.pal_idx = np.where(~use_pred, knn_pal, -1)
     tm.psnr = np.asarray(euclidean_to_psnr(jnp.asarray(cell_err)))
 
     kf_psnr_accum = np.zeros(len(state.keyframes), np.float64)

@@ -20,11 +20,16 @@ def reindex(state: EncodeState, settings: EncoderSettings) -> EncodeState:
     view = flat.view([("", flat.dtype)] * 64)[:, 0]
     _, first_idx, inverse = np.unique(view, return_index=True, return_inverse=True)
 
-    # recount from tilemaps: only cells actually emitted as tile commands
-    # reference counts every TileIdx >= 0 including prediction-overridden
-    # cells (:2012-2030); we only count emitted cells (smaller TileSet).
+    # recount from tilemaps. The reference counts every TileIdx >= 0
+    # including prediction-overridden cells (:2012-2030); by default we
+    # only count emitted cells (smaller TileSet, same decoded pixels) —
+    # count_predicted_tiles=True reproduces the reference accounting
+    # (A/B numbers in docs/PERF.md).
     tid = tm.tile_idx.reshape(-1)
-    emitted = (tid >= 0) & ~tm.predicted.reshape(-1)
+    if settings.count_predicted_tiles:
+        emitted = tid >= 0
+    else:
+        emitted = (tid >= 0) & ~tm.predicted.reshape(-1)
     uidx = inverse[tid[emitted]]
     counts = np.bincount(uidx, minlength=len(first_idx)).astype(np.int64)
 
