@@ -69,3 +69,37 @@ def test_pipeline_encode_with_mesh(mesh, tmp_path):
     frames = GTMDecoder(str(p)).decode_frames()
     assert len(frames) == 6
     assert _psnr_rgb(np.stack(frames)[..., :3], clip) > 20.0
+
+
+def test_full_pipeline_mesh_vs_meshless(tmp_path):
+    """EVERY sharded stage wired through the Encoder (data-parallel
+    predict_motion, corpus-sharded palettization k-means, corpus-sharded
+    reconstruct KNN) on a 2-axis mesh, compared against the meshless
+    encode: same quality band and bitrate (collectives reorder float
+    sums and the candidate top-k is approximate, so byte-exactness is
+    not required — VERDICT round-1 item 5)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_e2e import synthetic_clip, _settings, _psnr_rgb
+    from tiler_tpu.pipeline.encoder import Encoder
+    from tiler_tpu.bitstream.gtm import GTMDecoder
+
+    mesh2 = make_mesh(8, ("data", "corpus"))
+    assert mesh2.shape == {"data": 2, "corpus": 4}
+    clip = synthetic_clip(F=6)
+
+    p0 = tmp_path / "nomesh.gtm"
+    e0 = Encoder(_settings(), log=lambda *a: None)
+    e0.run_all(clip, fps=24.0, out_path=str(p0))
+
+    p1 = tmp_path / "mesh2.gtm"
+    e1 = Encoder(_settings(), log=lambda *a: None, mesh=mesh2)
+    e1.run_all(clip, fps=24.0, out_path=str(p1))
+
+    f0 = np.stack(GTMDecoder(str(p0)).decode_frames())[..., :3]
+    f1 = np.stack(GTMDecoder(str(p1)).decode_frames())[..., :3]
+    ps0 = _psnr_rgb(f0, clip)
+    ps1 = _psnr_rgb(f1, clip)
+    assert abs(ps0 - ps1) < 1.0, f"mesh {ps1:.2f} dB vs meshless {ps0:.2f} dB"
+    b0, b1 = e0.stats.total_bytes, e1.stats.total_bytes
+    assert abs(b0 - b1) < 0.15 * b0, f"bytes {b1} vs {b0}"

@@ -36,3 +36,58 @@ def sharded_lloyd_step(points, weights, cents, mesh: Mesh, data_axis: str = "cor
         check_vma=False,
     )
     return fn(points, weights, cents)
+
+
+def sharded_assign(points, cents, mesh: Mesh, data_axis: str = "corpus"):
+    """Exact 1-NN assignment of sharded points against replicated
+    centroids; returns (assign [N] int32, d2 [N]) sharded like points."""
+
+    def local(pts, c):
+        d2 = (
+            jnp.sum(pts * pts, 1, keepdims=True)
+            - 2.0 * (pts @ c.T)
+            + jnp.sum(c * c, 1)[None, :]
+        )
+        a = jnp.argmin(d2, axis=1)
+        return a.astype(jnp.int32), jnp.take_along_axis(d2, a[:, None], 1)[:, 0]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(data_axis, None), P()),
+        out_specs=(P(data_axis), P(data_axis)),
+        check_vma=False,
+    )
+    return fn(points, cents)
+
+
+def sharded_kmeans(points, k: int, *, weights, iters: int, seed: int,
+                   mesh: Mesh, data_axis: str = "corpus"):
+    """Weighted k-means with the points sharded over `data_axis`:
+    assignment matmuls run shard-local, centroid sums psum over ICI
+    (cluster/kmeans.py's engine distributed; same Lloyd fixed points).
+
+    Returns (cents [k, D], assign [N] int32, d2 [N]) — assign/d2 gathered
+    to the host caller's layout."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    n, d = points.shape
+    nshard = mesh.shape[data_axis]
+    npad = -(-n // nshard) * nshard
+    pts = jnp.pad(jnp.asarray(points, jnp.float32), ((0, npad - n), (0, 0)))
+    w = jnp.pad(jnp.asarray(weights, jnp.float32), (0, npad - n))
+    pts = jax.device_put(pts, NamedSharding(mesh, P(data_axis, None)))
+    w = jax.device_put(w, NamedSharding(mesh, P(data_axis)))
+
+    # weighted sample init (Gumbel top-k), replicated
+    key = jax.random.PRNGKey(seed)
+    g = jax.random.gumbel(key, (npad,))
+    keys_ = jnp.where(w > 0, jnp.log(jnp.maximum(w, 1e-30)), -jnp.inf) + g
+    _, idx = jax.lax.top_k(keys_, min(k, n))
+    cents = jnp.asarray(points, jnp.float32)[idx]
+
+    for _ in range(iters):
+        cents = sharded_lloyd_step(pts, w, cents, mesh, data_axis=data_axis)
+    assign, d2 = sharded_assign(pts, cents, mesh, data_axis=data_axis)
+    return cents, assign[:n], d2[:n]

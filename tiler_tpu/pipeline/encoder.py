@@ -90,7 +90,7 @@ class Encoder:
     def predict_motion(self):
         t0 = time.monotonic()
         with trace_step("predict_motion"):
-            predict_mod.predict_motion(self.state, self.settings)
+            predict_mod.predict_motion(self.state, self.settings, mesh=self.mesh)
         self._stamp("predict_motion", t0)
         return self
 
@@ -105,7 +105,7 @@ class Encoder:
     def prepare_palettes(self):
         t0 = time.monotonic()
         with trace_step("prepare_palettes"):
-            palettes_mod.prepare_palettes(self.state, self.settings)
+            palettes_mod.prepare_palettes(self.state, self.settings, mesh=self.mesh)
         self._stamp("prepare_palettes", t0)
         return self
 

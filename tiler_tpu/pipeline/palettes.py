@@ -46,16 +46,27 @@ def _corpus_features(state: EncodeState, settings: EncoderSettings, chunk=65536)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
-def palettization(state: EncodeState, settings: EncoderSettings) -> EncodeState:
+def palettization(state: EncodeState, settings: EncoderSettings,
+                  mesh=None) -> EncodeState:
     feats = _corpus_features(state, settings)
     T = len(feats)
     P = settings.palette_count
     k1 = min(P * 8, T)  # BICO coreset size (tilingencoder.pas:4149)
 
-    cents, assign1, _ = kmeans(
-        feats, k1, weights=jnp.asarray(state.corpus_use.astype(np.float32)),
-        iters=settings.kmeans_iters, seed=settings.seed, init="sample",
-    )
+    if mesh is not None and "corpus" in mesh.axis_names:
+        # corpus-sharded Lloyd: shard-local assignment matmuls, centroid
+        # psum over ICI (parallel/kmeans.py)
+        from ..parallel.kmeans import sharded_kmeans
+
+        cents, assign1, _ = sharded_kmeans(
+            feats, k1, weights=jnp.asarray(state.corpus_use.astype(np.float32)),
+            iters=settings.kmeans_iters, seed=settings.seed, mesh=mesh,
+        )
+    else:
+        cents, assign1, _ = kmeans(
+            feats, k1, weights=jnp.asarray(state.corpus_use.astype(np.float32)),
+            iters=settings.kmeans_iters, seed=settings.seed, init="sample",
+        )
     k1 = int(cents.shape[0])
     if k1 > P and P > 1:
         _, assign2, _ = kmeans(
@@ -271,8 +282,9 @@ def optimize_palettes(state: EncodeState, settings: EncoderSettings,
     return state
 
 
-def prepare_palettes(state: EncodeState, settings: EncoderSettings) -> EncodeState:
-    state = palettization(state, settings)
+def prepare_palettes(state: EncodeState, settings: EncoderSettings,
+                     mesh=None) -> EncodeState:
+    state = palettization(state, settings, mesh=mesh)
     state = quantization(state, settings)
     state = optimize_palettes(state, settings)
     return state

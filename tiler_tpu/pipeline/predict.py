@@ -9,6 +9,9 @@ but each search is one fused device program.
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,7 +27,8 @@ def _frame_chunk(H: int, W: int, budget_bytes: float = 6e9) -> int:
     return max(1, int(budget_bytes / per_frame))
 
 
-def predict_motion(state: EncodeState, settings: EncoderSettings) -> EncodeState:
+def predict_motion(state: EncodeState, settings: EncoderSettings,
+                   mesh=None) -> EncodeState:
     R = settings.motion_predict_radius
     F = state.n_frames
     if F == 0 or R <= 0 or F < 2:
@@ -33,6 +37,8 @@ def predict_motion(state: EncodeState, settings: EncoderSettings) -> EncodeState
     N = state.tilemap_size
     frames = state.frames_rgb
     refs = np.concatenate([[1], np.arange(F - 1)])  # frame 0 predicts from 1
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        return _predict_motion_dp(state, settings, mesh, frames, refs, R)
     chunk = _frame_chunk(state.height, state.width)
     outs = []  # keep results on device; sync ONCE at the end (the tunnel
     # round-trip per dispatch costs more than the compute)
@@ -50,3 +56,34 @@ def predict_motion(state: EncodeState, settings: EncoderSettings) -> EncodeState
     tm.pred_x[:] = ox
     tm.psnr[:] = ps
     return state
+
+
+def _predict_motion_dp(state, settings, mesh, frames, refs, R):
+    """Data-parallel motion: frame pairs are independent, so the batch
+    shards over the mesh "data" axis and each chip searches its frames
+    (frame-pair parallelism the reference gets from its thread pool,
+    tilingencoder.pas:1964-1991)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    F = state.n_frames
+    N = state.tilemap_size
+    dd = mesh.shape["data"]
+    Fp = -(-F // dd) * dd
+    idxs = np.minimum(np.arange(Fp), F - 1)
+    sharding = NamedSharding(mesh, P("data"))
+    cur = jax.device_put(jnp.asarray(np.asarray(frames)[idxs]), sharding)
+    prev = jax.device_put(jnp.asarray(np.asarray(frames)[refs[idxs]]), sharding)
+    oy, ox, err = _motion_vmap(cur, prev, R, settings.int16_features)
+    tm = state.tilemap
+    tm.pred_y[:] = np.asarray(oy).reshape(Fp, N)[:F]
+    tm.pred_x[:] = np.asarray(ox).reshape(Fp, N)[:F]
+    tm.psnr[:] = np.asarray(euclidean_to_psnr(err)).reshape(Fp, N)[:F]
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "int16"))
+def _motion_vmap(cur, prev, radius: int, int16: bool):
+    from .motion import _motion_core
+
+    return jax.vmap(lambda a, b: _motion_core(a, b, radius, int16))(cur, prev)
