@@ -472,6 +472,25 @@ struct Encoder {
     return price;
   }
 
+  // tree-only literal price for states < 7 (no matched-byte path): a pure
+  // function of the position while the window's probabilities are frozen,
+  // so the optimal parse caches it per window (price_literal was ~10% of
+  // encode time, mostly from re-walking the 8-bit tree per relax)
+  u32 price_lit_tree(const u8* data, size_t pos) const {
+    u8 sym = data[pos];
+    u8 prev = pos ? data[pos - 1] : 0;
+    size_t ctx = (((u32)pos & lp_mask) << lc) + (prev >> (8 - lc));
+    const u16* probs = lit.data() + 0x300 * ctx;
+    u32 price = 0;
+    u32 m = 1;
+    for (int i = 7; i >= 0; i--) {
+      int bit = (sym >> i) & 1;
+      price += g_prices.pb(probs[m], bit);
+      m = (m << 1) | bit;
+    }
+    return price;
+  }
+
   u32 price_literal(const u8* data, size_t pos, int st, u32 rep0v, u32 ps) const {
     u32 price = g_prices.p0(is_match[(st << 4) + ps]);
     u8 sym = data[pos];
@@ -626,8 +645,13 @@ struct Encoder {
     rc.out = &out;
 
     constexpr int W = 2048;
+    constexpr u32 kFastEmit = 128;  // LzmaEnc numFastBytes analog: a match
+    // this long at a window boundary is emitted directly (runs collapse to
+    // one op per kMaxLen chunk with no DP; once a run is entered, every
+    // following window starts inside it and stays on this path)
     std::vector<Node> nodes(W + 1);
     std::vector<int> path;
+    std::vector<u32> lit_cache(W);
     u32 mlens[64], mdists[64];
 
     size_t pos = 0;
@@ -635,8 +659,35 @@ struct Encoder {
     // found long match skip the match finder (rep relaxes still run, so
     // the DP stays connected); LzmaEnc's numFastBytes skip analog
     while (pos < n) {
+      {
+        u32 brl = 0;
+        int br = -1;
+        for (int r = 0; r < 4; r++) {
+          u32 L = match_len(data, n, pos, reps[r]);
+          if (L > brl) {
+            brl = L;
+            br = r;
+          }
+        }
+        u32 ml = 0, md = 0;
+        if (pos >= skip_mf_until) find_match(data, n, pos, ml, md);
+        u32 ps2 = (u32)pos & pb_mask;
+        if (brl >= kFastEmit && brl + 1 >= ml) {
+          encode_rep(rc, ps2, br, brl);
+          for (size_t p2 = pos; p2 < pos + brl; p2++) insert(data, n, p2);
+          pos += brl;
+          continue;
+        }
+        if (ml >= kFastEmit) {
+          encode_match(rc, ps2, md, ml);
+          for (size_t p2 = pos; p2 < pos + ml; p2++) insert(data, n, p2);
+          pos += ml;
+          continue;
+        }
+      }
       int B = (int)((n - pos < (size_t)W) ? (n - pos) : (size_t)W);
       refresh_price_tables();
+      for (int i = 0; i < B; i++) lit_cache[i] = 0xFFFFFFFFu;
       for (int i = 0; i <= B; i++) nodes[i].price = 0xFFFFFFFFu;
       nodes[0].price = 0;
       nodes[0].st = (u8)state;
@@ -663,8 +714,14 @@ struct Encoder {
 
         // literal
         u8 lit_state = st < 4 ? 0 : (st < 10 ? st - 3 : st - 6);
-        relax(i + 1, nd.price + price_literal(data, ap, st, nd.reps[0], ps), 1, 0,
-              lit_state, nd.reps);
+        u32 litp;
+        if (st < 7) {  // no matched-byte path: per-window cacheable
+          if (lit_cache[i] == 0xFFFFFFFFu) lit_cache[i] = price_lit_tree(data, ap);
+          litp = g_prices.p0(is_match[(st << 4) + ps]) + lit_cache[i];
+        } else {
+          litp = price_literal(data, ap, st, nd.reps[0], ps);
+        }
+        relax(i + 1, nd.price + litp, 1, 0, lit_state, nd.reps);
         // shortrep
         if (ap >= nd.reps[0] + 1 && ap > 0 &&
             data[ap] == data[ap - nd.reps[0] - 1]) {

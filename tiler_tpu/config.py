@@ -66,6 +66,12 @@ class EncoderSettings:
     # and count into the TileSet (never emitted as commands — a larger
     # stream for no fidelity gain; off reproduces our smaller default)
     use_pallas_tk: bool = True  # Pallas Thomas Knoll kernel (falls back to XLA)
+    motion_rank_dims: int = 192  # candidate RANKING dims for motion search:
+    # 3*r^2 low-frequency DCT coefficients per channel (192 = exact full
+    # search; the winner's error is always exact 192-dim fp32). MEASURED
+    # SLOWER at 48 on v5e: sub-128 minor dims pad to full lanes and the
+    # 16-channel grouped conv falls off the fast path — keep 192 unless a
+    # future backend changes the math
     hbm_frames_budget: float = 8e9  # larger videos stream from host RAM
 
     def derived_tile_count(self, total_raw_tiles: int) -> int:

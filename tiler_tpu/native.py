@@ -24,13 +24,22 @@ def _build() -> bool:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-o", _SO, _SRC],
             check=True,
             capture_output=True,
         )
         return True
     except Exception:
-        return False
+        try:  # portable fallback (e.g. cross-built images)
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
+                check=True,
+                capture_output=True,
+            )
+            return True
+        except Exception:
+            return False
 
 
 def get_lib():

@@ -26,18 +26,28 @@ TILE_W = 8
 
 @jax.jit
 def _load_chunk(frames):
-    """frames [B, H, W, 3] uint8 -> (tiles_canon uint8, hmir, vmir, mean_lab).
+    """frames [B, H, W, 3] uint8 -> (tiles_canon uint8, packed f32 [B, N, 4]
+    = (hmir, vmir, correlation broadcast, spare)).
 
     mean_lab is computed on the ORIGINAL orientation (PrepareInterFrameData
-    runs before the mirror pass, tilingencoder.pas:1379 vs :1393).
-    """
+    runs before the mirror pass, tilingencoder.pas:1379 vs :1393). The
+    Pearson chain runs ON DEVICE and only [B] correlations + the mirror
+    flags cross to the host in ONE packed transfer (tunnel round trips
+    dominate small pulls)."""
     B, H, W, _ = frames.shape
     t = frames.reshape(B, H // TILE_W, TILE_W, W // TILE_W, TILE_W, 3)
     t = t.transpose(0, 1, 3, 2, 4, 5).reshape(B, -1, TILE_W, TILE_W, 3)
     tf = t.astype(jnp.float32)
     mean_lab = jnp.mean(rgb_to_lab(tf), axis=(2, 3))  # [B, N, 3]
     canon, hm, vm = canonicalize(tf)
-    return canon.astype(jnp.uint8), hm, vm, mean_lab
+    lab_flat = mean_lab.reshape(B, -1)
+    corr = jnp.ones(B, jnp.float32)
+    if B > 1:
+        corr = corr.at[1:].set(pearson(lab_flat[:-1], lab_flat[1:], axis=-1))
+    packed = jnp.stack(
+        [hm.astype(jnp.float32), vm.astype(jnp.float32)], axis=-1
+    )  # [B, N, 2]
+    return canon.astype(jnp.uint8), packed, corr
 
 
 def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
@@ -72,13 +82,24 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
     tiles_parts = []
     hm = np.empty((F, N), bool)
     vm = np.empty((F, N), bool)
-    lab = np.empty((F, N * 3), np.float32)
+    # inter-frame Pearson correlation (tilingencoder.pas:1385-1388, :2201)
+    # computed on device inside _load_chunk; chunks overlap by one frame so
+    # the chain stays exact across chunk boundaries
+    corr = np.ones(F, np.float32)
+    if device_resident:
+        chunk = F  # one dispatch, one packed pull
     for i in range(0, F, chunk):
-        tc, h, v, ml = _load_chunk(jnp.asarray(state.frames_rgb[i : i + chunk]))
+        lo = max(0, i - 1)  # 1-frame overlap for the correlation chain
+        tc, packed, c = _load_chunk(jnp.asarray(state.frames_rgb[lo : i + chunk]))
+        skip = i - lo
+        packed_h = np.asarray(packed[skip:])  # one transfer per chunk
+        tc = tc[skip:]
         tiles_parts.append(tc if device_resident else np.asarray(tc))
-        hm[i : i + chunk] = np.asarray(h)
-        vm[i : i + chunk] = np.asarray(v)
-        lab[i : i + chunk] = np.asarray(ml, np.float32).reshape(len(ml), -1)
+        hm[i : i + chunk] = packed_h[..., 0] != 0.0
+        vm[i : i + chunk] = packed_h[..., 1] != 0.0
+        corr[i : i + chunk] = np.asarray(c)[skip:]
+    if F > 0:
+        corr[0] = 1.0
 
     cat = jnp.concatenate if device_resident else np.concatenate
     state.tiles_canon = tiles_parts[0] if len(tiles_parts) == 1 else cat(tiles_parts)
@@ -86,11 +107,6 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
     tm.hmirror = hm
     tm.vmirror = vm
     state.tilemap = tm
-
-    # inter-frame Pearson correlation (tilingencoder.pas:1385-1388, :2201)
-    corr = np.ones(F, np.float32)
-    if F > 1:
-        corr[1:] = np.asarray(pearson(jnp.asarray(lab[:-1]), jnp.asarray(lab[1:]), axis=-1))
     state.correlations = corr
 
     # keyframe detection (FindKeyFrames, tilingencoder.pas:3361-3433)

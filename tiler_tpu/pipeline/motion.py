@@ -71,22 +71,57 @@ def window_dct_field(frame_rgb):
     return out[0]  # [H-7, W-7, 192]
 
 
-def _window_field_bf16(frame_rgb):
+def _window_field_bf16(frame_rgb, dims: int = K):
     """Ranking-precision window field: same conv in bfloat16 (7x faster on
     the MXU than the fp32-HIGHEST variant; the winner's error is
-    recomputed exactly from pixels afterwards)."""
-    yuv = rgb_to_yuv(frame_rgb.astype(jnp.float32)).astype(jnp.bfloat16)
-    filt = jnp.asarray(_window_filters()).reshape(8, 8, 1, 192).astype(jnp.bfloat16)
-    out = jax.lax.conv_general_dilated(
-        yuv[None],
-        filt,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=3,
-        preferred_element_type=jnp.bfloat16,
+    recomputed exactly from pixels afterwards).
+
+    dims < 192 keeps only the per-channel low-frequency DCT block (the
+    r x r corner, r = sqrt(dims/3)) — the same prescreening idea as the
+    reference's own 8-coefficient early reject (QuickTestEuclideanDCTPtr,
+    utils.pas:761-780); see _motion_core for how the winner stays exact.
+
+    NOT a convolution: XLA's grouped 8x8/192-channel conv measured ~25 ms
+    per 720p frame on v5e (vs a ~2 ms bandwidth floor). The separable DCT
+    as two 8-term shifted elementwise sums fuses into two VPU passes."""
+    yuv = rgb_to_yuv(frame_rgb.astype(jnp.float32))
+    H, W = yuv.shape[0], yuv.shape[1]
+    r = 8 if dims == K else _lowfreq_side(dims)
+    D = np.asarray(DCT_MAT, np.float64)[:r]  # [r(u/v), 8(x/y)]
+    w = np.asarray(DCT_WEIGHTS, np.float64)[:, :r, :r]  # [c, v, u]
+    # pass A (x contraction): A[h, w', c, u] = sum_x D[u,x] yuv[h, w'+x, c]
+    A = sum(
+        yuv[:, x : x + W - 7, :, None] * jnp.asarray(D[:, x], jnp.float32)
+        for x in range(8)
+    )  # [H, W-7, 3, r] f32 — the unweighted partial sums are O(1e3) while
+    # high-frequency outputs are O(1), so a bf16 intermediate here loses
+    # them entirely (measured 15% relative error); only the FINAL weighted
+    # feature is safe to round
+    # pass B (y contraction + PSNR-HVS weights):
+    # F[h', w', c, v, u] = w[c,v,u] * sum_y D[v,y] A[h'+y, w', c, u]
+    F = sum(
+        A[y : y + H - 7, :, :, None, :]
+        * jnp.asarray(D[:, y], jnp.float32)[:, None]
+        for y in range(8)
     )
-    return out[0]  # [H-7, W-7, 192] bf16
+    F = F * jnp.asarray(w, jnp.float32)
+    return F.astype(jnp.bfloat16).reshape(H - 7, W - 7, dims)
+
+
+def _lowfreq_side(dims: int) -> int:
+    r = int(round((dims / 3) ** 0.5))
+    if 3 * r * r != dims:
+        raise ValueError(f"motion rank dims must be 3*r^2, got {dims}")
+    return r
+
+
+def _lowfreq_tiles(T, dims: int):
+    """Subset tile features [..., 192] (c,v,u raster) to the per-channel
+    low-frequency r x r block -> [..., dims]. Static strided slices."""
+    r = _lowfreq_side(dims)
+    return T.reshape(*T.shape[:-1], 3, 8, 8)[..., :r, :r].reshape(
+        *T.shape[:-1], dims
+    )
 
 
 def tile_features_raster(tiles_rgb):
@@ -100,28 +135,39 @@ def tile_features_raster(tiles_rgb):
     return z.reshape(*z.shape[:-3], K)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "int16"))
-def motion_search_batch(cur_rgb, prev_rgb, radius: int, int16: bool = False):
+@functools.partial(jax.jit, static_argnames=("radius", "int16", "rank_dims"))
+def motion_search_batch(cur_rgb, prev_rgb, radius: int, int16: bool = False,
+                        rank_dims: int = K):
     """Batched motion search over leading frame axis [B, H, W, 3].
 
     lax.map (scan) instead of vmap: the rank core is a Pallas kernel and
     per-frame sequencing also bounds the transient field memory."""
     return jax.lax.map(
-        lambda ab: _motion_core(ab[0], ab[1], radius, int16), (cur_rgb, prev_rgb)
+        lambda ab: _motion_core(ab[0], ab[1], radius, int16, rank_dims),
+        (cur_rgb, prev_rgb),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "int16"))
-def motion_search(cur_rgb, prev_rgb, radius: int, int16: bool = False):
-    return _motion_core(cur_rgb, prev_rgb, radius, int16)
+@functools.partial(jax.jit, static_argnames=("radius", "int16", "rank_dims"))
+def motion_search(cur_rgb, prev_rgb, radius: int, int16: bool = False,
+                  rank_dims: int = K):
+    return _motion_core(cur_rgb, prev_rgb, radius, int16, rank_dims)
 
 
-def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False):
+def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False,
+                 rank_dims: int = K):
     """Full-frame motion search of cur against prev.
 
     cur_rgb/prev_rgb: [H, W, 3] float or uint8 (H, W multiples of 8).
     Returns (pred_y, pred_x) int32 [Th, Tw] and err float32 [Th, Tw]
     (squared weighted-DCT L2 + Manhattan tie penalty, reference :1228-1244).
+
+    rank_dims < 192 ranks candidates on the per-channel low-frequency DCT
+    block only (PSNR-HVS weights already concentrate the energy there; the
+    reference's own asm prescreens with its first 8 coefficients) — 4x less
+    field traffic at dims=48. The winner's error is ALWAYS recomputed
+    exactly from pixels in full 192-dim fp32, so only near-tie vector
+    choices can differ; the reported err is exact either way.
     """
     H, W = cur_rgb.shape[0], cur_rgb.shape[1]
     th, tw = H // TILE_W, W // TILE_W
@@ -134,21 +180,23 @@ def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False):
         Q *= 2
     P = Q * TILE_W
 
+    KR = int(rank_dims)
     # tile features of current frame (natural orientation = raw frame)
     cur = cur_rgb.astype(jnp.float32).reshape(th, TILE_W, tw, TILE_W, 3).swapaxes(1, 2)
     T = tile_features_raster(cur)  # [th, tw, 192]
     if int16:  # SmallInt feature semantics (tilingencoder.pas:3126)
         T = jnp.round(T)
+    Tr = T if KR == K else _lowfreq_tiles(T, KR)
 
     # window field of previous frame — bf16: ranking only (the winner's
     # error is recomputed exactly from pixels below)
-    F = _window_field_bf16(prev_rgb)  # [H-7, W-7, 192] bf16
+    F = _window_field_bf16(prev_rgb, KR)  # [H-7, W-7, KR] bf16
 
     # center both sides by the mean tile feature: |T - W|^2 is invariant,
     # but the DC energy leaves the cross terms/norms, so the bf16 einsum
     # output (rounded at 0.4% of |D|) stops quantizing candidate gaps away
-    mu = jnp.mean(T.reshape(-1, K), axis=0)
-    Tc = T - mu
+    mu = jnp.mean(Tr.reshape(-1, KR), axis=0)
+    Tc = Tr - mu
     T2 = jnp.sum(Tc * Tc, axis=-1)  # [th, tw]
     Fc = (F.astype(jnp.float32) - mu).astype(jnp.bfloat16)
     N2 = jnp.sum(Fc.astype(jnp.float32) * Fc.astype(jnp.float32), axis=-1)
@@ -174,9 +222,9 @@ def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False):
         # is unbuildable in VMEM), so the XLA hybrid below — whose einsum
         # DOES hit the MXU — is the default.
         Fblk = (
-            Fp.reshape(mh, TILE_W, mw, TILE_W, K)
+            Fp.reshape(mh, TILE_W, mw, TILE_W, KR)
             .transpose(0, 1, 3, 4, 2)
-            .reshape(mh, 64, K, mw)
+            .reshape(mh, 64, KR, mw)
         )
         N2blk = (
             N2p.reshape(mh, TILE_W, mw, TILE_W)
@@ -207,9 +255,9 @@ def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False):
         # (dropping T2 re-centers values at +-1e7 and quantizes candidate
         # gaps away). The winner's error is recomputed exactly below.
         Fblk = (
-            Fp.reshape(mh, TILE_W, mw, TILE_W, K)
+            Fp.reshape(mh, TILE_W, mw, TILE_W, KR)
             .transpose(0, 2, 1, 3, 4)
-            .reshape(mh, mw, 64, K)
+            .reshape(mh, mw, 64, KR)
         )
         N2blk = (
             N2p.reshape(mh, TILE_W, mw, TILE_W)
@@ -223,7 +271,7 @@ def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False):
                 for qx in range(NQ)
             ],
             axis=2,
-        )  # [mh, mw, NQ^2, K]
+        )  # [mh, mw, NQ^2, KR]
         D = jnp.einsum(
             "mnsk,mnqk->mnqs", Fblk, neigh, preferred_element_type=jnp.bfloat16
         )  # [mh, mw, NQ^2(q), 64(s)] — q-major: per-q slices keep s contiguous

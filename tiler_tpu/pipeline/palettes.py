@@ -210,10 +210,21 @@ def _optimize_palettes_dev(pal, valid, S: int, max_rounds: int, max_inner: int):
     (the host-numpy version of this loop cost ~4.5s/encode at P=1024)."""
     wch = jnp.array([RED_MUL, GREEN_MUL, BLUE_MUL], jnp.float32) / LUMA_DIV
     iu_i, iu_j = np.triu_indices(S, 1)
+    npairs = len(iu_i)
+    # pairs sharing a slot conflict: used to apply several DISJOINT swaps
+    # per iteration (disjoint swaps change disjoint ss terms, so their
+    # combined per-channel delta is exactly additive; the outer loop's
+    # objective check still guards the nonlinear sqrt combination)
+    conflict = (
+        (iu_i[:, None] == iu_i[None, :]) | (iu_i[:, None] == iu_j[None, :])
+        | (iu_j[:, None] == iu_i[None, :]) | (iu_j[:, None] == iu_j[None, :])
+    )
+    conflict_d = jnp.asarray(conflict)
     iu_i = jnp.asarray(iu_i, jnp.int32)
     iu_j = jnp.asarray(iu_j, jnp.int32)
     mean = pal.sum(axis=(0, 1)) / S  # MeanR/G/B (tilingencoder.pas:4374-4380)
     slots = jnp.arange(S, dtype=jnp.int32)[None, :]
+    n_multi = 4  # disjoint swaps applied per sequential iteration
 
     def inner(t):
         def body(c):
@@ -230,16 +241,27 @@ def _optimize_palettes_dev(pal, valid, S: int, max_rounds: int, max_inner: int):
             )
             obj_cur = jnp.sum(wch * jnp.sqrt(ss / S), -1)  # [P]
             gain = (obj_new - obj_cur[:, None, None])[:, iu_i, iu_j]
-            best = jnp.argmax(gain, axis=1)
-            bg = jnp.take_along_axis(gain, best[:, None], 1)[:, 0]
-            do = bg > 1e-4  # fp32 epsilon (host float64 used 1e-9)
-            bi = iu_i[best][:, None]
-            bj = iu_j[best][:, None]
-            perm = jnp.where(slots == bi, bj, jnp.where(slots == bj, bi, slots))
-            perm = jnp.where(do[:, None], perm, slots)
+            perm = jnp.broadcast_to(slots, (pal.shape[0], S))
+            any_do = jnp.bool_(False)
+            for _ in range(n_multi):  # greedy disjoint picks (unrolled)
+                best = jnp.argmax(gain, axis=1)
+                bg = jnp.take_along_axis(gain, best[:, None], 1)[:, 0]
+                do = bg > 1e-4  # fp32 epsilon (host float64 used 1e-9)
+                any_do = any_do | jnp.any(do)
+                bi = iu_i[best][:, None]
+                bj = iu_j[best][:, None]
+                sw = jnp.where(slots == bi, bj, jnp.where(slots == bj, bi, slots))
+                sw = jnp.where(do[:, None], sw, slots)
+                perm = jnp.take_along_axis(perm, sw, axis=1)
+                # mask conflicting pairs for the next pick; swaps after the
+                # first use stale gains, so only strictly positive ones are
+                # taken and the outer objective check backstops the rest
+                gain = jnp.where(
+                    do[:, None] & conflict_d[best], -jnp.inf, gain
+                )
             pal2 = jnp.take_along_axis(pal, perm[:, :, None], axis=1)
             valid2 = jnp.take_along_axis(valid, perm, axis=1)
-            return pal2, valid2, it + 1, jnp.any(do)
+            return pal2, valid2, it + 1, any_do
 
         return body
 

@@ -21,10 +21,30 @@ from ..ops.metrics import euclidean_to_psnr
 from .motion import motion_search_batch
 
 
-def _frame_chunk(H: int, W: int, budget_bytes: float = 6e9) -> int:
-    """Frames per dispatch, bounded by the window-DCT field footprint."""
-    per_frame = H * W * 192 * 4 * 3  # field + phase view + err headroom
+def _frame_chunk(H: int, W: int, budget_bytes: float = 2e10) -> int:
+    """Frames per dispatch. lax.map runs frames SEQUENTIALLY inside one
+    program, so the field transients are per-iteration, not per-chunk —
+    the chunk only bounds the [chunk, H, W, 3] input copy. Large chunks
+    matter because every dispatch costs a full tunnel round-trip
+    (~30-40 ms measured) on top of the compute."""
+    per_frame = H * W * 3 * 2  # cur + ref uint8 copies
     return max(1, int(budget_bytes / per_frame))
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "int16", "rank_dims"))
+def _motion_packed(cur, prev, radius: int, int16: bool, rank_dims: int):
+    """motion_search_batch + PSNR, packed into ONE f32 array so the host
+    pulls a single transfer (each d2h costs a tunnel round-trip)."""
+    oy, ox, err = motion_search_batch(cur, prev, radius, int16, rank_dims)
+    B = oy.shape[0]
+    return jnp.stack(
+        [
+            oy.reshape(B, -1).astype(jnp.float32),
+            ox.reshape(B, -1).astype(jnp.float32),
+            euclidean_to_psnr(err).reshape(B, -1),
+        ],
+        axis=0,
+    )  # [3, B, N]
 
 
 def predict_motion(state: EncodeState, settings: EncoderSettings,
@@ -40,21 +60,17 @@ def predict_motion(state: EncodeState, settings: EncoderSettings,
     if mesh is not None and mesh.shape.get("data", 1) > 1:
         return _predict_motion_dp(state, settings, mesh, frames, refs, R)
     chunk = _frame_chunk(state.height, state.width)
-    outs = []  # keep results on device; sync ONCE at the end (the tunnel
-    # round-trip per dispatch costs more than the compute)
+    outs = []
     for i in range(0, F, chunk):
         j = min(F, i + chunk)
-        oy, ox, err = motion_search_batch(
+        outs.append(_motion_packed(
             jnp.asarray(frames[i:j]), jnp.asarray(frames[refs[i:j]]), R,
-            settings.int16_features,
-        )
-        outs.append((oy, ox, euclidean_to_psnr(err)))
-    oy = np.concatenate([np.asarray(o[0]).reshape(-1, N) for o in outs])
-    ox = np.concatenate([np.asarray(o[1]).reshape(-1, N) for o in outs])
-    ps = np.concatenate([np.asarray(o[2]).reshape(-1, N) for o in outs])
-    tm.pred_y[:] = oy
-    tm.pred_x[:] = ox
-    tm.psnr[:] = ps
+            settings.int16_features, settings.motion_rank_dims,
+        ))
+    packed = np.asarray(outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1))
+    tm.pred_y[:] = packed[0].astype(np.int16)
+    tm.pred_x[:] = packed[1].astype(np.int16)
+    tm.psnr[:] = packed[2]
     return state
 
 
@@ -74,7 +90,8 @@ def _predict_motion_dp(state, settings, mesh, frames, refs, R):
     sharding = NamedSharding(mesh, P("data"))
     cur = jax.device_put(jnp.asarray(np.asarray(frames)[idxs]), sharding)
     prev = jax.device_put(jnp.asarray(np.asarray(frames)[refs[idxs]]), sharding)
-    oy, ox, err = _motion_vmap(cur, prev, R, settings.int16_features)
+    oy, ox, err = _motion_vmap(cur, prev, R, settings.int16_features,
+                               settings.motion_rank_dims)
     tm = state.tilemap
     tm.pred_y[:] = np.asarray(oy).reshape(Fp, N)[:F]
     tm.pred_x[:] = np.asarray(ox).reshape(Fp, N)[:F]
@@ -82,8 +99,10 @@ def _predict_motion_dp(state, settings, mesh, frames, refs, R):
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "int16"))
-def _motion_vmap(cur, prev, radius: int, int16: bool):
+@functools.partial(jax.jit, static_argnames=("radius", "int16", "rank_dims"))
+def _motion_vmap(cur, prev, radius: int, int16: bool, rank_dims: int):
     from .motion import _motion_core
 
-    return jax.vmap(lambda a, b: _motion_core(a, b, radius, int16))(cur, prev)
+    return jax.vmap(
+        lambda a, b: _motion_core(a, b, radius, int16, rank_dims)
+    )(cur, prev)

@@ -64,9 +64,19 @@ def _render_corpus_dev(palettes_rgb, pal_initial, pal_pixels):
 
 @functools.partial(jax.jit, static_argnames=("S",))
 def _indicator_dcts_chunk(pp, S: int):
-    D = jnp.asarray(DCT_MAT, jnp.float32)
-    oh = jax.nn.one_hot(pp, S, dtype=jnp.float32)  # [B, 8, 8, S]
-    return jnp.einsum("vy,byxs,ux->bvus", D, oh, D, precision="highest").reshape(-1, 64, S)
+    # one [64,64] basis matmul against the one-hot pixel map — the DCT
+    # separability buys nothing here (the fp32-HIGHEST two-sided einsum
+    # this replaces ran at ~3% of the MXU); G only ranks (bf16 consumer),
+    # winners are re-ranked exactly by _exact_choice_err
+    D = np.asarray(DCT_MAT, np.float64)
+    basis = np.einsum("vy,ux->vuyx", D, D).reshape(64, 64)  # [(v,u), (y,x)]
+    oh = jax.nn.one_hot(pp.reshape(-1, 64), S, dtype=jnp.bfloat16)  # [B,64,S]
+    return jnp.einsum(
+        "ve,bes->bvs",
+        jnp.asarray(basis, jnp.bfloat16),
+        oh,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _indicator_dcts(pal_pixels, S: int, chunk: int = 16384):
@@ -118,7 +128,11 @@ def _topk_oneshot(feats, ds, k: int, Tpad: int):
     d2pad = jnp.sum(dsp * dsp, axis=1)
     f2 = jnp.sum(feats * feats, axis=1, keepdims=True)
     # ranking-only matmul in bf16 (the kd-tree being replaced was itself
-    # approximate; exact errors are recomputed for the winners)
+    # approximate; exact errors are recomputed for the winners). The
+    # [cells, Tpad] matrix lands in HBM in bf16 — at 720p defaults it is
+    # the single biggest tensor of the encode (halving it halved the
+    # measured top-k time); the f32 accumulation happens inside the fused
+    # matmul consumer before the cast.
     d = (
         f2
         - 2.0
@@ -129,29 +143,62 @@ def _topk_oneshot(feats, ds, k: int, Tpad: int):
         )
         + d2pad[None, :]
     )
-    d = jnp.where(jnp.arange(Tpad)[None, :] < T, d, jnp.inf)
+    d = jnp.where(jnp.arange(Tpad)[None, :] < T, d, jnp.inf).astype(jnp.bfloat16)
     if k == 1:
         a = jnp.argmin(d, axis=1)
-        e = jnp.take_along_axis(d, a[:, None], axis=1)
+        e = jnp.take_along_axis(d, a[:, None], axis=1).astype(jnp.float32)
         return a[:, None].astype(jnp.int32), e
     # TPU-optimized approximate top-k (recall>=0.95); exact sort of the k
     # finalists so err/idx come back ascending (idx[:, :pal_k] feeds the
     # EPU candidate-palette set, which wants the best-ranked tiles first)
     nege, sel = jax.lax.approx_max_k(-d, k, recall_target=0.95)
     negs, order = jax.lax.top_k(nege, k)
-    return jnp.take_along_axis(sel, order, axis=1).astype(jnp.int32), -negs
+    return (
+        jnp.take_along_axis(sel, order, axis=1).astype(jnp.int32),
+        -negs.astype(jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def _tile_quad(G, S: int):
+    """Per-tile quadratic form Q[t, (c,s,s')] = sum_v wf[v,c]^2 G[t,v,s] G[t,v,s'].
+
+    With it, |rendered feature|^2 of the pair (tile t, palette j) becomes
+    the dot product Q[t] . R[j] where R[j, (c,s,s')] = Py[j,s,c] Py[j,s',c]
+    — the whole [T, P] quadratic term of the cartesian error factors into
+    two matmuls, so the EPU re-rank never materializes per-pair rendered
+    features (the old [cells, kk, kp, 64, 3] tensor cost ~45 GB of HBM
+    traffic per 720p frame). [T, 3*S*S] float32."""
+    w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
+    wf2 = (w * w).transpose(1, 2, 0).reshape(64, 3)  # [v, c]
+    Gf = G.astype(jnp.float32)
+    outs = [
+        jnp.einsum("tvs,tvu->tsu", Gf * wf2[:, c][None, :, None], Gf,
+                   preferred_element_type=jnp.float32)
+        for c in range(3)
+    ]
+    return jnp.stack(outs, axis=1).reshape(G.shape[0], 3 * S * S)
 
 
 @functools.partial(jax.jit, static_argnames=("S", "cell_chunk"))
-def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int):
-    """Exact cartesian re-rank over all cells via a scan over cell chunks.
+def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int,
+                  Q=None):
+    """Cartesian re-rank over all cells via a scan over cell chunks.
 
     feats [B, 192]; cand_idx/cand_pal [B, kk] sorted ascending; G [T,64,S];
-    pal_yuv [P, S, 3]. Returns (tile [B], pal [B], err [B])."""
+    pal_yuv [P, S, 3]. Returns (tile [B], pal [B], err [B]).
+
+    Norm-expansion formulation: err(cell, i, j) = |rf|^2 - 2<rf, ft> + |ft|^2
+    with rf = (G_i @ Py_j) * wf. The quadratic term comes from the per-tile
+    table Q (see _tile_quad) dotted with the palette outer products; the
+    cross term contracts G_i with (ft * wf) first — everything is a batched
+    matmul, nothing per-pair larger than [chunk, kk, kp] is materialized."""
     B, kk = cand_idx.shape
     kp = cand_pal.shape[1]
     w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
     wf = w.transpose(1, 2, 0).reshape(64, 3)  # [vu, c]
+    if Q is None:
+        Q = _tile_quad(G, S)
     nch = -(-B // cell_chunk)
     Bp = nch * cell_chunk
     featsp = jnp.pad(feats, ((0, Bp - B), (0, 0)))
@@ -162,16 +209,26 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
         f = jax.lax.dynamic_slice(featsp, (i * cell_chunk, 0), (cell_chunk, K))
         ci = jax.lax.dynamic_slice(cip, (i * cell_chunk, 0), (cell_chunk, kk))
         cp = jax.lax.dynamic_slice(cpp, (i * cell_chunk, 0), (cell_chunk, kp))
-        # bf16 gathers/matmuls: ranking only — winners get an exact
-        # fp32 re-evaluation in _knn_phase
-        Gi = G[ci]  # [b, kk, 64, S] (bf16)
-        Py = pal_yuv[cp].astype(jnp.bfloat16)  # [b, kk, S, 3]
-        rf = jnp.einsum(
-            "bivs,bjsc->bijvc", Gi, Py, preferred_element_type=jnp.float32
-        ) * wf[None, None, None]
-        ft = f.reshape(-1, 3, 64).transpose(0, 2, 1)[:, None, None]
-        d = rf - ft
-        err = jnp.sum(d * d, axis=(-2, -1)).reshape(cell_chunk, kk * kp)
+        Gi = G[ci]  # [b, kk, 64, S] (bf16: ranking only — winners get an
+        # exact fp32 re-evaluation in _knn_phase)
+        ftw = f.reshape(-1, 3, 64).transpose(0, 2, 1) * wf[None]  # [b, 64, 3]
+        C = jnp.einsum("bkvs,bvc->bksc", Gi, ftw.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)  # [b, kk, S, 3]
+        Py = pal_yuv[cp]  # [b, kp, S, 3] f32
+        cross = jnp.einsum("bksc,bjsc->bkj", C, Py,
+                           precision=jax.lax.Precision.HIGH,
+                           preferred_element_type=jnp.float32)
+        Pc = Py.transpose(0, 1, 3, 2)  # [b, kp, 3, S]
+        Rj = (Pc[..., :, None] * Pc[..., None, :]).reshape(cell_chunk, kp, -1)
+        Qi = Q[ci]  # [b, kk, 3*S*S] f32
+        # HIGH (bf16_3x) keeps ~f32 mantissa in the norm expansion, whose
+        # cancellation (quad ~ 1e7, err ~ 1e4) would otherwise lose ranking
+        # gaps; the matmul FLOPs are negligible next to the gather traffic
+        quad = jnp.einsum("bkx,bjx->bkj", Qi, Rj,
+                          precision=jax.lax.Precision.HIGH,
+                          preferred_element_type=jnp.float32)
+        f2 = jnp.sum(f * f, axis=1)
+        err = (quad - 2.0 * cross + f2[:, None, None]).reshape(cell_chunk, kk * kp)
         best = jnp.argmin(err, axis=1)
         bi, bj = best // kp, best % kp
         return None, (
@@ -182,6 +239,50 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
 
     _, (t, p, e) = jax.lax.scan(body, None, jnp.arange(nch))
     return t.reshape(Bp)[:B], p.reshape(Bp)[:B], e.reshape(Bp)[:B]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kk", "pal_k", "S", "cell_chunk", "epu", "int16"),
+)
+def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
+                    kk: int, pal_k: int, S: int, cell_chunk: int,
+                    epu: bool, int16: bool):
+    """Phase A for ALL frames in one device program (lax.map runs frames
+    sequentially, so the [cells, Tpad] ranking matrix is a per-iteration
+    transient) — one dispatch + one packed d2h instead of per-frame round
+    trips through the tunnel (~30-40 ms each).
+
+    tiles [F, N, 8, 8, 3] uint8. Returns [3, F, N] f32 (tile, pal, err)."""
+    T = dsj.shape[0]
+    Tpad = 256
+    while Tpad < T:
+        Tpad *= 2
+
+    def per_frame(tiles_f):
+        feats = tile_features_raster(tiles_f.astype(jnp.float32))  # [N, 192]
+        if int16:
+            feats = jnp.round(feats)
+        idx, err = _topk_oneshot(feats, dsj, kk, Tpad)
+        if not epu:
+            d = feats - dsj[idx[:, 0]]
+            exact = jnp.sum(d * d, axis=1)
+            return (
+                idx[:, 0].astype(jnp.float32),
+                pal_initial[idx[:, 0]].astype(jnp.float32),
+                exact,
+            )
+        cand_idx = jnp.sort(idx, axis=1)
+        cand_pal = jnp.sort(pal_initial[idx[:, :pal_k]], axis=1)
+        t, p, _ = _epu_rank_all(
+            feats, cand_idx, cand_pal, G, pal_yuv, S,
+            cell_chunk=cell_chunk, Q=Q,
+        )
+        e = _exact_choice_err(feats, t, p, pp, palettes, int16=int16)
+        return t.astype(jnp.float32), p.astype(jnp.float32), e
+
+    t, p, e = jax.lax.map(per_frame, tiles)
+    return jnp.stack([t, p, e], axis=0)
 
 
 def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
@@ -215,29 +316,67 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
         ds_sharded = jax.device_put(dspad, NamedSharding(mesh, P("corpus", None)))
     epu = settings.frame_tiling_extended_palette_usage
     kk = min(settings.epu_knn_k, T) if epu else 1
+    S = settings.palette_size
+    pal_k = min(getattr(settings, "epu_pal_k", kk) or kk, kk)
+    # candidate palettes come from the top tiles; capping them at epu_pal_k
+    # (palettes of the best-ranked tiles) quarters the cartesian re-rank
+    # with negligible quality impact.
+    # cell_chunk bounds the gathered per-chunk operands (Gi + Qi + Rj)
+    per_cell = kk * (64 * S * 2 + 3 * S * S * 4) + pal_k * 3 * S * S * 4
+    cell_chunk = max(64, min(4096, int(3e8 / per_cell)))
 
     pal_initial = jnp.asarray(state.corpus_pal_initial.astype(np.int32))
-    best_tile = np.empty((F, N), np.int32)
-    best_pal = np.empty((F, N), np.int32)
-    best_err = np.empty((F, N), np.float32)
-
+    pal_yuv = rgb_to_yuv(jnp.asarray(state.palettes_rgb, jnp.float32))
+    pp_dev = jnp.asarray(state.corpus_pal_pixels)
+    palettes_dev = jnp.asarray(state.palettes_rgb)
     if epu:
-        pal_yuv = rgb_to_yuv(jnp.asarray(state.palettes_rgb, jnp.float32))
-        pp_dev = jnp.asarray(state.corpus_pal_pixels)
-        palettes_dev = jnp.asarray(state.palettes_rgb)
-        # NOTE: an "EPU v2" that avoids materializing rendered features via
-        # a global [T, P] norm table + Parseval cross terms was measured
-        # 15x SLOWER on v5e than this path: the per-(tile, palette) norm
-        # lookup is a scalar gather (~60M elem/s on TPU) and the one-hot
-        # pixel-map gather reads sub-lane rows. The rendered-feature
-        # formulation below keeps every operand a wide matmul operand.
+        # NOTE: a global [T, P] norm TABLE indexed per (tile, palette) pair
+        # was measured 15x SLOWER on v5e (scalar gathers, ~60M elem/s); the
+        # formulation here keeps the quadratic term factored as row-gathers
+        # + matmuls instead (see _tile_quad).
         G = _indicator_dcts(
             state.corpus_pal_pixels, settings.palette_size
         ).astype(jnp.bfloat16)
+        Q = _tile_quad(G, settings.palette_size)  # [T, 3*S*S] f32, once
+    else:
+        G = jnp.zeros((1, 64, S), jnp.bfloat16)
+        Q = jnp.zeros((1, 3 * S * S), jnp.float32)
 
-    # frame group size bounded by feats + topk footprint
+    if ds_sharded is None:
+        # single chip: all (device-resident) frames in one dispatch + one
+        # packed d2h; host-RAM streaming mode groups frames to bound the
+        # h2d staging copy (one dispatch per group)
+        host_res = isinstance(state.tiles_canon, np.ndarray)
+        gsize = F if not host_res else min(F, 256)
+        outs = []
+        for f0 in range(0, F, gsize):
+            g = min(F, f0 + gsize) - f0
+            gp = g if g == gsize else max(1, 1 << (g - 1).bit_length())
+            idxs = np.minimum(np.arange(gp) + f0, F - 1)
+            tiles_dev = jnp.asarray(
+                state.tiles_canon[idxs] if host_res else
+                state.tiles_canon[jnp.asarray(idxs)]
+            ).reshape(gp, N, 8, 8, 3)
+            packed = np.asarray(_knn_all_frames(
+                tiles_dev, dsj, G, Q, pal_initial, pal_yuv, pp_dev,
+                palettes_dev, kk=kk, pal_k=pal_k, S=S,
+                cell_chunk=cell_chunk, epu=epu,
+                int16=settings.int16_features,
+            ))
+            outs.append(packed[:, :g])
+        packed = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)
+        return (
+            packed[0].astype(np.int32),
+            packed[1].astype(np.int32),
+            packed[2].astype(np.float32),
+        )
+
+    # mesh path: corpus-sharded top-k per frame group (collectives per
+    # dispatch; the tunnel-latency batching above is a single-chip concern)
+    best_tile = np.empty((F, N), np.int32)
+    best_pal = np.empty((F, N), np.int32)
+    best_err = np.empty((F, N), np.float32)
     group = max(1, int(4e8 / (N * (192 * 4 + kk * kk * 4))))
-    corpus_chunk = min(settings.corpus_chunk, max(256, T))
     dev_outs = []  # dispatch all groups, sync once at the end
     for f0 in range(0, F, group):
         f1 = min(F, f0 + group)
@@ -245,29 +384,20 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
         feats = tile_features_raster(tiles.reshape(-1, 8, 8, 3))
         if settings.int16_features:
             feats = jnp.round(feats)
-        if ds_sharded is not None:
-            from ..parallel.knn import sharded_topk
+        from ..parallel.knn import sharded_topk
 
-            idx, err = sharded_topk(feats, ds_sharded, kk, mesh)
-            idx = jnp.minimum(idx, T - 1)  # padded rows never rank
-        else:
-            idx, err = _topk_candidates(feats, dsj, kk, corpus_chunk)
+        idx, err = sharded_topk(feats, ds_sharded, kk, mesh)
+        idx = jnp.minimum(idx, T - 1)  # padded rows never rank
         if not epu:
             d = feats - dsj[idx[:, 0]]
             exact = jnp.sum(d * d, axis=1)
             dev_outs.append((idx[:, 0], pal_initial[idx[:, 0]], exact))
         else:
             cand_idx = jnp.sort(idx, axis=1)
-            # candidate palettes come from the top tiles; capping them at
-            # epu_pal_k (palettes of the best-ranked tiles) quarters the
-            # cartesian re-rank with negligible quality impact
-            pal_k = min(getattr(settings, "epu_pal_k", kk) or kk, kk)
             cand_pal = jnp.sort(pal_initial[idx[:, :pal_k]], axis=1)
-            # bound the [chunk, kk, kk, 64, 3] fp32 intermediate to ~200MB
-            cell_chunk = max(8, min(512, int(2e8 / (kk * kk * 64 * 3 * 4))))
             t, p, _ = _epu_rank_all(
                 feats, cand_idx, cand_pal, G, pal_yuv,
-                settings.palette_size, cell_chunk=cell_chunk,
+                settings.palette_size, cell_chunk=cell_chunk, Q=Q,
             )
             e = _exact_choice_err(feats, t, p, pp_dev, palettes_dev,
                                   int16=settings.int16_features)
@@ -293,10 +423,23 @@ def _exact_choice_err(feats, tile, pal, pp, palettes, int16: bool = False):
     return jnp.sum(d * d, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "th", "tw", "int16"))
+@jax.jit
+def _pack_phase_b(oy, ox, use_pred, cell_err):
+    """[Lp, N] x4 -> one [4, Lp, N] f32 (single d2h; offsets are < 2^24 so
+    f32 is exact; err goes out as PSNR directly)."""
+    return jnp.stack([
+        oy.astype(jnp.float32),
+        ox.astype(jnp.float32),
+        use_pred.astype(jnp.float32),
+        euclidean_to_psnr(cell_err),
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "th", "tw", "int16",
+                                             "rank_dims"))
 def _phase_b_scan(frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start,
                   pp, palettes, radius: int, th: int, tw: int,
-                  int16: bool = False):
+                  int16: bool = False, rank_dims: int = K):
     """Sequential selection/render scan over frames, carry = back buffer.
 
     frames_u8 [F,H,W,3] uint8; knn_* [F,N]; hm/vm [F,N] bool;
@@ -311,7 +454,7 @@ def _phase_b_scan(frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start,
         cur = frame.astype(jnp.float32)
         if radius >= 1:
             def do_search(_):
-                oy, ox, e = _motion_core(cur, back, radius, int16)
+                oy, ox, e = _motion_core(cur, back, radius, int16, rank_dims)
                 return oy.reshape(N), ox.reshape(N), e.reshape(N)
 
             def no_search(_):
@@ -406,13 +549,18 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
             hm_dev[idx_dev], vm_dev[idx_dev],
             jnp.asarray(kf_start_v),
             pp_dev, pal_dev, R, th, tw,
-            settings.int16_features,
+            settings.int16_features, settings.motion_rank_dims,
         )
-        outs.append((L, res))
-    oy = np.concatenate([np.asarray(r[0])[:L] for L, r in outs])
-    ox = np.concatenate([np.asarray(r[1])[:L] for L, r in outs])
-    use_pred = np.concatenate([np.asarray(r[2])[:L] for L, r in outs])
-    cell_err = np.concatenate([np.asarray(r[3])[:L] for L, r in outs])
+        # pack the 4 outputs into one f32 array: ONE d2h round trip per KF
+        # instead of four (each transfer pays the tunnel latency). psnr is
+        # computed on device in the same pass.
+        packed = _pack_phase_b(*res)
+        outs.append((L, packed))
+    pulled = [np.asarray(p)[:, :L] for L, p in outs]
+    oy = np.concatenate([p[0] for p in pulled]).astype(np.int32)
+    ox = np.concatenate([p[1] for p in pulled]).astype(np.int32)
+    use_pred = np.concatenate([p[2] for p in pulled]) != 0.0
+    psnr = np.concatenate([p[3] for p in pulled])
 
     tm.predicted = use_pred
     tm.pred_y = oy.astype(np.int16)
@@ -425,7 +573,7 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
     else:
         tm.tile_idx = np.where(~use_pred, knn_tile.astype(np.int64), -1)
         tm.pal_idx = np.where(~use_pred, knn_pal, -1)
-    tm.psnr = np.asarray(euclidean_to_psnr(jnp.asarray(cell_err)))
+    tm.psnr = psnr
 
     kf_psnr_accum = np.zeros(len(state.keyframes), np.float64)
     np.add.at(kf_psnr_accum, state.frame_kf, tm.psnr.sum(axis=1))

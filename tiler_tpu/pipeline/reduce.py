@@ -38,11 +38,12 @@ _C2 = jnp.asarray((_RNG.randint(0, 1 << 31, 192) * 2 + 1).astype(np.int32))
 
 @jax.jit
 def _tile_hashes(tiles_u8):
-    """[..., 8, 8, 3] uint8 -> two int32 polynomial hashes per tile."""
+    """[..., 8, 8, 3] uint8 -> two int32 polynomial hashes per tile,
+    stacked [2, ...] so the host pulls ONE transfer."""
     flat = tiles_u8.reshape(*tiles_u8.shape[:-3], 192).astype(jnp.int32)
     h1 = jnp.sum(flat * _C1, axis=-1)
     h2 = jnp.sum(flat * _C2, axis=-1)
-    return h1, h2
+    return jnp.stack([h1, h2])
 
 
 @jax.jit
@@ -64,14 +65,13 @@ def reduce_tiles(state: EncodeState, settings: EncoderSettings) -> EncodeState:
         parts = []
         flat_tiles = state.tiles_canon.reshape(-1, 8, 8, 3)
         for i in range(0, len(flat_tiles), 262144):
-            hh1, hh2 = _tile_hashes(jnp.asarray(flat_tiles[i : i + 262144]))
-            parts.append((np.asarray(hh1), np.asarray(hh2)))
-        h1 = np.concatenate([p[0] for p in parts])
-        h2 = np.concatenate([p[1] for p in parts])
+            parts.append(np.asarray(_tile_hashes(jnp.asarray(flat_tiles[i : i + 262144]))))
+        hh = np.concatenate(parts, axis=1)
     else:
-        h1, h2 = _tile_hashes(state.tiles_canon)
-    key = (np.asarray(h1).astype(np.int64).reshape(-1) << 32) ^ (
-        np.asarray(h2).astype(np.int64).reshape(-1) & 0xFFFFFFFF
+        hh = np.asarray(_tile_hashes(state.tiles_canon))
+        hh = hh.reshape(2, -1)
+    key = (hh[0].astype(np.int64).reshape(-1) << 32) ^ (
+        hh[1].astype(np.int64).reshape(-1) & 0xFFFFFFFF
     )
     uniq_keys, first_idx, inverse = np.unique(key, return_index=True, return_inverse=True)
     n_unique = len(first_idx)

@@ -1,24 +1,53 @@
 """esReindex: dedup corpus on palette pixels, recount usage from the
 tilemaps, drop unused tiles, sort by use count (desc, ties on content),
 and remap tilemap indexes (Reindex, tilingencoder.pas:1993-2038;
-MakeTilesUnique :4720-4781; ReindexTiles :4626-4718)."""
+MakeTilesUnique :4720-4781; ReindexTiles :4626-4718).
+
+Tile identity uses the same device-side double 32-bit polynomial hash as
+Reduce (reduce.py): the [T, 8, 8] palette pixels stay in HBM and only
+8 bytes/tile cross to the host for the dedup bookkeeping; the final
+(kept, sorted) pixel array crosses once for the bitstream writer. Tie
+order among equal use counts follows the content hash instead of the
+reference's lexicographic pixel compare — deterministic, equally
+arbitrary (same deviation as Reduce, documented there).
+"""
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import EncoderSettings
 from ..models.state import EncodeState
 
+_RNG = np.random.RandomState(0x1DE7)
+_C1 = jnp.asarray((_RNG.randint(0, 1 << 31, 64) * 2 + 1).astype(np.int32))
+_C2 = jnp.asarray((_RNG.randint(0, 1 << 31, 64) * 2 + 1).astype(np.int32))
+
+
+@jax.jit
+def _pal_hashes(pp_u8):
+    flat = pp_u8.reshape(-1, 64).astype(jnp.int32)
+    return jnp.stack(
+        [jnp.sum(flat * _C1, axis=-1), jnp.sum(flat * _C2, axis=-1)]
+    )  # [2, T]: one d2h
+
+
+@jax.jit
+def _gather(arr, idx):
+    return arr[idx]
+
 
 def reindex(state: EncodeState, settings: EncoderSettings) -> EncodeState:
     tm = state.tilemap
-    pp = np.asarray(state.corpus_pal_pixels)  # [T, 8, 8]; one d2h
-    T = len(pp)
+    pp_dev = jnp.asarray(state.corpus_pal_pixels)  # [T, 8, 8] device
+    hh = np.asarray(_pal_hashes(pp_dev))
+    key = (hh[0].astype(np.int64) << 32) ^ (hh[1].astype(np.int64) & 0xFFFFFFFF)
 
     # dedup on palette pixels (MakeTilesUnique(False))
-    flat = np.ascontiguousarray(pp.reshape(T, 64))
-    view = flat.view([("", flat.dtype)] * 64)[:, 0]
-    _, first_idx, inverse = np.unique(view, return_index=True, return_inverse=True)
+    uniq_keys, first_idx, inverse = np.unique(
+        key, return_index=True, return_inverse=True
+    )
 
     # recount from tilemaps. The reference counts every TileIdx >= 0
     # including prediction-overridden cells (:2012-2030); by default we
@@ -35,13 +64,10 @@ def reindex(state: EncodeState, settings: EncoderSettings) -> EncodeState:
 
     keep = counts > 0
     kept = np.flatnonzero(keep)
-    kpp = pp[first_idx[kept]]
     kcounts = counts[kept]
 
-    # sort: use count desc, ties by pal pixel content asc
-    keys = np.ascontiguousarray(kpp.reshape(len(kpp), 64))
-    kview = keys.view([("", keys.dtype)] * 64)[:, 0]
-    order = np.lexsort((kview, -kcounts))
+    # sort: use count desc, ties by content hash asc
+    order = np.lexsort((uniq_keys[kept], -kcounts))
     rank_of_kept = np.empty(len(order), np.int64)
     rank_of_kept[order] = np.arange(len(order))
 
@@ -53,14 +79,14 @@ def reindex(state: EncodeState, settings: EncoderSettings) -> EncodeState:
     new_tid[emitted] = final_of_unique[uidx]
     tm.tile_idx = new_tid.reshape(tm.tile_idx.shape)
 
-    state.corpus_pal_pixels = kpp[order]  # host (the writer consumes it)
+    sel = first_idx[kept][order]
+    sel_dev = jnp.asarray(sel.astype(np.int32))
+    # ONE d2h of just the kept+sorted tile pixels (the writer's input)
+    state.corpus_pal_pixels = np.asarray(_gather(pp_dev, sel_dev))
     state.corpus_use = kcounts[order]
     # keep rgb/pal_initial aligned for rendering/debug views (device gather)
-    import jax.numpy as jnp
-
-    sel = first_idx[kept][order]
     if state.corpus_rgb is not None:
-        state.corpus_rgb = jnp.asarray(state.corpus_rgb)[jnp.asarray(sel.astype(np.int32))]
+        state.corpus_rgb = _gather(jnp.asarray(state.corpus_rgb), sel_dev)
     if state.corpus_pal_initial is not None:
         state.corpus_pal_initial = np.asarray(state.corpus_pal_initial)[sel]
     return state
