@@ -198,7 +198,20 @@ def load_ffmpeg(path: str, start_frame: int = 0, frame_count: Optional[int] = No
     if scaling != 1.0:
         W, H = max(1, round(W * scaling)), max(1, round(H * scaling))
         vf = ["-vf", f"scale={W}:{H}:flags=lanczos"]
-    cmd = [ffmpeg, "-v", "quiet", "-i", path, *vf, "-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
+    # frame-accurate seek (the reference seeks via av_seek_frame,
+    # extern.pas:807-848): -ss BEFORE -i lands on the prior seek point and
+    # accurate-seek discards up to the target inside ffmpeg — no decoded
+    # frames cross the pipe just to be thrown away. Seeking to the
+    # mid-point of frame N-1 makes frame N the first emitted regardless of
+    # rational-fps rounding. Without ffprobe fps, fall back to
+    # decode-and-discard.
+    seek = []
+    idx = 0
+    if start_frame > 0 and ffprobe and fps > 0:
+        seek = ["-ss", f"{max(0.0, (start_frame - 0.5) / fps):.6f}"]
+        idx = start_frame
+    cmd = [ffmpeg, "-v", "quiet", *seek, "-i", path, *vf,
+           "-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
     fsz = H * W * 3
     cap = max(0, nb_frames - start_frame)
     if frame_count is not None and cap:
@@ -206,7 +219,6 @@ def load_ffmpeg(path: str, start_frame: int = 0, frame_count: Optional[int] = No
     sink = _FrameSink(cap)
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
     try:
-        idx = 0
         while frame_count is None or len(sink) < frame_count:
             raw = proc.stdout.read(fsz)
             if len(raw) < fsz:

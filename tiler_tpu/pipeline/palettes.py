@@ -104,8 +104,16 @@ def _sample_member_pixels(corpus_rgb, pal_initial, P: int, cap: int, key):
     M = T * 64
     pix = corpus_rgb.reshape(M, 3).astype(jnp.float32)
     pal = jnp.repeat(pal_initial.astype(jnp.int32), 64)
-    r = jax.random.uniform(key, (M,))
-    order = jnp.lexsort((r, pal))  # grouped by palette, random inside
+    # one combined-key argsort instead of a two-pass lexsort (TPU sorts
+    # are O(log^2) passes over the 64*T keys — halving the passes halves
+    # the dominant cost of this sampler): palette id in the high bits,
+    # random tie-break bits below (P <= 2^11, so 11 + 20 bits < 31)
+    if (P + 1) * (1 << 20) + (1 << 20) < 2**31:
+        r20 = jax.random.randint(key, (M,), 0, 1 << 20, dtype=jnp.int32)
+        order = jnp.argsort(pal * (1 << 20) + r20)
+    else:  # huge palette counts: keep the exact two-key sort
+        r = jax.random.uniform(key, (M,))
+        order = jnp.lexsort((r, pal))
     spal = pal[order]
     starts = jnp.searchsorted(spal, jnp.arange(P, dtype=jnp.int32))
     ends = jnp.searchsorted(spal, jnp.arange(P, dtype=jnp.int32), side="right")
@@ -242,24 +250,40 @@ def _optimize_palettes_dev(pal, valid, S: int, max_rounds: int, max_inner: int):
             obj_cur = jnp.sum(wch * jnp.sqrt(ss / S), -1)  # [P]
             gain = (obj_new - obj_cur[:, None, None])[:, iu_i, iu_j]
             perm = jnp.broadcast_to(slots, (pal.shape[0], S))
+            perm1 = perm
             any_do = jnp.bool_(False)
-            for _ in range(n_multi):  # greedy disjoint picks (unrolled)
+            for pick in range(n_multi):  # greedy disjoint picks (unrolled)
                 best = jnp.argmax(gain, axis=1)
                 bg = jnp.take_along_axis(gain, best[:, None], 1)[:, 0]
                 do = bg > 1e-4  # fp32 epsilon (host float64 used 1e-9)
-                any_do = any_do | jnp.any(do)
+                if pick == 0:
+                    # convergence is judged on the FIRST pick only (fresh
+                    # gain); later picks use stale gains
+                    any_do = jnp.any(do)
                 bi = iu_i[best][:, None]
                 bj = iu_j[best][:, None]
                 sw = jnp.where(slots == bi, bj, jnp.where(slots == bj, bi, slots))
                 sw = jnp.where(do[:, None], sw, slots)
                 perm = jnp.take_along_axis(perm, sw, axis=1)
-                # mask conflicting pairs for the next pick; swaps after the
-                # first use stale gains, so only strictly positive ones are
-                # taken and the outer objective check backstops the rest
+                if pick == 0:
+                    perm1 = perm
                 gain = jnp.where(
                     do[:, None] & conflict_d[best], -jnp.inf, gain
                 )
-            pal2 = jnp.take_along_axis(pal, perm[:, :, None], axis=1)
+
+            def obj_of(p):
+                dd = t + p
+                return jnp.sum(wch * jnp.sqrt(jnp.sum(dd * dd, axis=1) / S), -1)
+
+            # stale-gain multi-swaps can overshoot the nonlinear objective
+            # and oscillate (measured: 2x SLOWER than single-swap when
+            # unguarded); keep the multi-swap only where it truly beats the
+            # fresh single best swap
+            pal_m = jnp.take_along_axis(pal, perm[:, :, None], axis=1)
+            pal_1 = jnp.take_along_axis(pal, perm1[:, :, None], axis=1)
+            use_m = (obj_of(pal_m) > obj_of(pal_1))[:, None]
+            perm = jnp.where(use_m, perm, perm1)
+            pal2 = jnp.where(use_m[..., None], pal_m, pal_1)
             valid2 = jnp.take_along_axis(valid, perm, axis=1)
             return pal2, valid2, it + 1, any_do
 

@@ -437,6 +437,23 @@ def _pack_phase_b(oy, ox, use_pred, cell_err):
 
 @functools.partial(jax.jit, static_argnames=("radius", "th", "tw", "int16",
                                              "rank_dims"))
+def _phase_b_scan_batch(frames_u8, knn_tile, knn_pal, knn_err, hm, vm,
+                        kf_start, pp, palettes, radius: int, th: int, tw: int,
+                        int16: bool = False, rank_dims: int = K):
+    """Keyframe-parallel phase B: vmap the sequential per-KF scan over a
+    batch of same-length keyframes (keyframes are independent — a KF-start
+    frame never predicts, tilingencoder.pas:1496). The reference gets this
+    overlap from nothing (it is strictly sequential); here G keyframes'
+    sequential chains run in lockstep on one chip, G bounded by the motion
+    transients (see reconstruct())."""
+    f = lambda fr, kt, kp_, ke, h, v, ks: _phase_b_scan(
+        fr, kt, kp_, ke, h, v, ks, pp, palettes, radius, th, tw,
+        int16, rank_dims)
+    return jax.vmap(f)(frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "th", "tw", "int16",
+                                             "rank_dims"))
 def _phase_b_scan(frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start,
                   pp, palettes, radius: int, th: int, tw: int,
                   int16: bool = False, rank_dims: int = K):
@@ -530,37 +547,55 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
         return -(-n // 64) * 64
 
     host_frames = isinstance(state.frames_rgb, np.ndarray)
-    outs = []
+
+    # group same-bucket keyframes and vmap G of them through one scan
+    # (independent sequential chains run in lockstep); G is bounded by the
+    # per-lane motion transients + the staged frame slices
+    H, W = th * TILE_W, tw * TILE_W
+    per_lane = lambda Lp: Lp * H * W * 3 + H * W * 1400
+    by_bucket = {}
     for kf in state.keyframes:
-        s0, s1 = kf.start_frame, kf.end_frame + 1
-        L = s1 - s0
-        Lp = _bucket(L)
-        idxs = np.minimum(np.arange(Lp) + s0, s1 - 1)
-        kf_start_v = np.zeros(Lp, bool)
-        kf_start_v[0] = True
-        idx_dev = jnp.asarray(idxs.astype(np.int32))
-        if host_frames:  # stream one keyframe's frames from host RAM
-            fr_slice = jnp.asarray(state.frames_rgb[idxs])
-        else:
-            fr_slice = state.frames_rgb[idx_dev]
-        res = _phase_b_scan(
-            fr_slice,
-            kt_dev[idx_dev], kp_dev[idx_dev], ke_dev[idx_dev],
-            hm_dev[idx_dev], vm_dev[idx_dev],
-            jnp.asarray(kf_start_v),
-            pp_dev, pal_dev, R, th, tw,
-            settings.int16_features, settings.motion_rank_dims,
-        )
-        # pack the 4 outputs into one f32 array: ONE d2h round trip per KF
-        # instead of four (each transfer pays the tunnel latency). psnr is
-        # computed on device in the same pass.
-        packed = _pack_phase_b(*res)
-        outs.append((L, packed))
-    pulled = [np.asarray(p)[:, :L] for L, p in outs]
-    oy = np.concatenate([p[0] for p in pulled]).astype(np.int32)
-    ox = np.concatenate([p[1] for p in pulled]).astype(np.int32)
-    use_pred = np.concatenate([p[2] for p in pulled]) != 0.0
-    psnr = np.concatenate([p[3] for p in pulled])
+        by_bucket.setdefault(_bucket(kf.end_frame + 1 - kf.start_frame), []).append(kf)
+
+    results = {}  # kf.index -> [4, L, N] np
+    for Lp, kfs in sorted(by_bucket.items()):
+        gcap = max(1, min(8, int(6e9 / per_lane(Lp))))
+        gcap = 1 << (gcap.bit_length() - 1)  # pow2 for compile sharing
+        for b0 in range(0, len(kfs), gcap):
+            batch = kfs[b0 : b0 + gcap]
+            Gb = len(batch)
+            Gp = 1 << (Gb - 1).bit_length()  # pad batch by repeating
+            pads = [batch[i % Gb] for i in range(Gp)]
+            idxs = np.stack([
+                np.minimum(np.arange(Lp) + kf.start_frame, kf.end_frame)
+                for kf in pads
+            ])  # [Gp, Lp]
+            kf_start_v = np.zeros((Gp, Lp), bool)
+            kf_start_v[:, 0] = True
+            idx_dev = jnp.asarray(idxs.astype(np.int32))
+            if host_frames:  # stream the batch's frames from host RAM
+                fr_slice = jnp.asarray(state.frames_rgb[idxs])
+            else:
+                fr_slice = state.frames_rgb[idx_dev]
+            res = _phase_b_scan_batch(
+                fr_slice,
+                kt_dev[idx_dev], kp_dev[idx_dev], ke_dev[idx_dev],
+                hm_dev[idx_dev], vm_dev[idx_dev],
+                jnp.asarray(kf_start_v),
+                pp_dev, pal_dev, R, th, tw,
+                settings.int16_features, settings.motion_rank_dims,
+            )
+            # one packed d2h per batch (each transfer pays tunnel latency);
+            # psnr is computed on device in the same pass
+            packed = np.asarray(jax.vmap(_pack_phase_b)(*res))  # [Gp, 4, Lp, N]
+            for g, kf in enumerate(batch):
+                L = kf.end_frame + 1 - kf.start_frame
+                results[kf.index] = packed[g, :, :L]
+    pulled = [results[kf.index] for kf in state.keyframes]
+    oy = np.concatenate([p[0] for p in pulled], axis=0).astype(np.int32)
+    ox = np.concatenate([p[1] for p in pulled], axis=0).astype(np.int32)
+    use_pred = np.concatenate([p[2] for p in pulled], axis=0) != 0.0
+    psnr = np.concatenate([p[3] for p in pulled], axis=0)
 
     tm.predicted = use_pred
     tm.pred_y = oy.astype(np.int16)
