@@ -108,6 +108,54 @@ def _window_field_bf16(frame_rgb, dims: int = K):
     return F.astype(jnp.bfloat16).reshape(H - 7, W - 7, dims)
 
 
+def _window_field_blocks(frame_rgb, mu, P: int, mh: int, mw: int, dims: int):
+    """Centered window-DCT field DIRECTLY in the padded block layout:
+    Fblk[m, n, s=(sy,sx), k] bf16 and its norms N2blk[m, n, 64] f32 with
+    +inf at out-of-frame windows.
+
+    Equivalent to _window_field_bf16 -> center -> pad -> blockify -> norm,
+    but the separate layout passes (measured ~17 ms/720p-frame of pure
+    HBM shuffling) disappear: the pixel frame is pre-padded by P, pass A
+    contracts x, and pass B's stride-8 slices emit each (sy, sx) phase
+    straight into its block position — the stack IS the blocked layout."""
+    yuv = rgb_to_yuv(frame_rgb.astype(jnp.float32))
+    H, W = yuv.shape[0], yuv.shape[1]
+    HP, WP = mh * TILE_W, mw * TILE_W
+    yuvp = jnp.pad(yuv, ((P, HP + 7 - H - P), (P, WP + 7 - W - P), (0, 0)))
+    r = 8 if dims == K else _lowfreq_side(dims)
+    D = np.asarray(DCT_MAT, np.float64)[:r]  # [r, 8]
+    w = np.asarray(DCT_WEIGHTS, np.float64)[:, :r, :r]  # [c, v, u]
+    # pass A (x contraction): A[h, n, sx, c, u]
+    A = sum(
+        yuvp[:, x : x + WP, :, None] * jnp.asarray(D[:, x], jnp.float32)
+        for x in range(8)
+    ).reshape(HP + 7, mw, TILE_W, 3, r)
+    # pass B (y contraction): stride-8 slices collapse the row index to m
+    Dj = jnp.asarray(D, jnp.float32)
+    mats = []
+    for sy in range(TILE_W):
+        F_sy = sum(
+            A[sy + y : sy + y + HP : TILE_W][..., None, :] * Dj[:, y][:, None]
+            for y in range(8)
+        )  # [mh, mw, 8sx, 3, r(v), r(u)]
+        mats.append(F_sy)
+    Fblk = jnp.stack(mats, axis=2)  # [mh, mw, 8sy, 8sx, 3, r, r]
+    Fblk = Fblk * jnp.asarray(w, jnp.float32) - mu.reshape(3, r, r)
+    Fblk = Fblk.astype(jnp.bfloat16).reshape(mh, mw, 64, dims)
+    n2 = jnp.sum(
+        Fblk.astype(jnp.float32) * Fblk.astype(jnp.float32), axis=-1
+    )  # [mh, mw, 64]
+    # windows whose top-left field position falls outside [0, H-7) x
+    # [0, W-7) never existed; +inf norms mask them out of the search
+    fy = (jnp.arange(mh) * TILE_W)[:, None] + jnp.arange(TILE_W)[None, :] - P
+    fx = (jnp.arange(mw) * TILE_W)[:, None] + jnp.arange(TILE_W)[None, :] - P
+    vy = (fy >= 0) & (fy <= H - TILE_W)  # [mh, 8sy]
+    vx = (fx >= 0) & (fx <= W - TILE_W)  # [mw, 8sx]
+    valid = (vy[:, None, :, None] & vx[None, :, None, :]).reshape(mh, mw, 64)
+    N2blk = jnp.where(valid, n2, jnp.inf)
+    return Fblk, N2blk
+
+
 def _lowfreq_side(dims: int) -> int:
     r = int(round((dims / 3) ** 0.5))
     if 3 * r * r != dims:
@@ -188,26 +236,16 @@ def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False,
         T = jnp.round(T)
     Tr = T if KR == K else _lowfreq_tiles(T, KR)
 
-    # window field of previous frame — bf16: ranking only (the winner's
-    # error is recomputed exactly from pixels below)
-    F = _window_field_bf16(prev_rgb, KR)  # [H-7, W-7, KR] bf16
-
     # center both sides by the mean tile feature: |T - W|^2 is invariant,
     # but the DC energy leaves the cross terms/norms, so the bf16 einsum
     # output (rounded at 0.4% of |D|) stops quantizing candidate gaps away
     mu = jnp.mean(Tr.reshape(-1, KR), axis=0)
     Tc = Tr - mu
     T2 = jnp.sum(Tc * Tc, axis=-1)  # [th, tw]
-    Fc = (F.astype(jnp.float32) - mu).astype(jnp.bfloat16)
-    N2 = jnp.sum(Fc.astype(jnp.float32) * Fc.astype(jnp.float32), axis=-1)
 
-    # pad to phase grid: field index = tile_pixel_pos + offset + P
-    ph = (-(H - 7 + 2 * P)) % TILE_W
-    pw = (-(W - 7 + 2 * P)) % TILE_W
-    Fp = jnp.pad(Fc, ((P, P + ph), (P, P + pw), (0, 0)))
-    N2p = jnp.pad(N2, ((P, P + ph), (P, P + pw)), constant_values=jnp.inf)
-    mh = Fp.shape[0] // TILE_W
-    mw = Fp.shape[1] // TILE_W
+    # geometry: field index = tile_pixel_pos + offset + P
+    mh = -(-(H - 7 + 2 * P) // TILE_W)
+    mw = -(-(W - 7 + 2 * P) // TILE_W)
     NQ = 2 * Q
     from ..kernels.motion_rank import make_penalty, motion_rank
 
@@ -215,22 +253,18 @@ def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False,
     Tb = Tc.astype(jnp.bfloat16)
     tpad = jnp.pad(Tb, ((NQ - 1, mh - th), (NQ - 1, mw - tw), (0, 0)))
 
+    # window field of previous frame, centered, already in block layout —
+    # bf16: ranking only (the winner's error is recomputed exactly below)
+    Fblk_mn, N2blk_mn = _window_field_blocks(prev_rgb, mu, P, mh, mw, KR)
+
     if os.environ.get("TILER_TPU_MOTION") == "pallas" and jax.default_backend() != "cpu":
         # fused Pallas rank kernel (kernels/motion_rank.py). Correct but
         # VPU-bound: Mosaic cannot lower this contraction's batched matmul
         # (batch dims must share positions and the per-position rhs layout
         # is unbuildable in VMEM), so the XLA hybrid below — whose einsum
         # DOES hit the MXU — is the default.
-        Fblk = (
-            Fp.reshape(mh, TILE_W, mw, TILE_W, KR)
-            .transpose(0, 1, 3, 4, 2)
-            .reshape(mh, 64, KR, mw)
-        )
-        N2blk = (
-            N2p.reshape(mh, TILE_W, mw, TILE_W)
-            .transpose(0, 1, 3, 2)
-            .reshape(mh, 64, mw)
-        )
+        Fblk = Fblk_mn.transpose(0, 2, 3, 1)  # [mh, 64, KR, mw]
+        N2blk = N2blk_mn.transpose(0, 2, 1)  # [mh, 64, mw]
         minv, args = motion_rank(Fblk, tpad.transpose(0, 2, 1), N2blk,
                                  jnp.asarray(pen_np))
         best = jnp.full((th, tw), jnp.inf, jnp.float32)
@@ -254,16 +288,8 @@ def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False,
         # bf16's 0.4% RELATIVE rounding then barely perturbs ranking
         # (dropping T2 re-centers values at +-1e7 and quantizes candidate
         # gaps away). The winner's error is recomputed exactly below.
-        Fblk = (
-            Fp.reshape(mh, TILE_W, mw, TILE_W, KR)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(mh, mw, 64, KR)
-        )
-        N2blk = (
-            N2p.reshape(mh, TILE_W, mw, TILE_W)
-            .transpose(0, 2, 1, 3)
-            .reshape(mh, mw, 64)
-        )
+        Fblk = Fblk_mn  # [mh, mw, 64, KR], already blocked by the field pass
+        N2blk = N2blk_mn  # [mh, mw, 64]
         neigh = jnp.stack(
             [
                 tpad[NQ - 1 - qy : NQ - 1 - qy + mh, NQ - 1 - qx : NQ - 1 - qx + mw]
@@ -275,7 +301,11 @@ def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False,
         D = jnp.einsum(
             "mnsk,mnqk->mnqs", Fblk, neigh, preferred_element_type=jnp.bfloat16
         )  # [mh, mw, NQ^2(q), 64(s)] — q-major: per-q slices keep s contiguous
-        pieces = []
+        # per-q (min, argmin) then a tiny [th, tw, NQ^2] merge: same
+        # lexicographic (q-major, s-minor) tie winner as the flattened
+        # argmin, without materializing the [th, tw, 4096] error tensor
+        mins = []
+        args = []
         for qy in range(NQ):
             for qx in range(NQ):
                 qi = qy * NQ + qx
@@ -284,13 +314,14 @@ def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False,
                     - 2.0 * D[qy : qy + th, qx : qx + tw, qi].astype(jnp.float32)
                     + N2blk[qy : qy + th, qx : qx + tw]
                     + jnp.asarray(pen_np[:, qi])
-                )
-                pieces.append(e.astype(jnp.bfloat16))
-        err = jnp.stack(pieces, axis=2)  # [th, tw, NQ^2, 64]
-        flat = err.reshape(th, tw, NQ * NQ * 64)
-        bestflat = jnp.argmin(flat, axis=-1)
-        bestq = (bestflat // 64).astype(jnp.int32)
-        bests = (bestflat % 64).astype(jnp.int32)
+                ).astype(jnp.bfloat16)
+                mins.append(jnp.min(e, axis=-1))
+                args.append(jnp.argmin(e, axis=-1))
+        minq = jnp.stack(mins, axis=2)  # [th, tw, NQ^2]
+        argq = jnp.stack(args, axis=2)
+        bestq = jnp.argmin(minq, axis=-1).astype(jnp.int32)
+        bests = jnp.take_along_axis(argq, bestq[..., None], axis=2)[..., 0]
+        bests = bests.astype(jnp.int32)
     best_oy = ((bestq // NQ) * TILE_W - P + bests // TILE_W).astype(jnp.int32)
     best_ox = ((bestq % NQ) * TILE_W - P + bests % TILE_W).astype(jnp.int32)
 
