@@ -555,10 +555,10 @@ struct Encoder {
   // match candidates at pos: (len, dist) pairs with strictly increasing
   // len; the first chain entry reaching a given len is the closest.
   int collect_matches(const u8* data, size_t n, size_t pos, u32* lens,
-                      u32* dists, int cap) {
+                      u32* dists, int cap, u32 h) {
     int cnt = 0;
     if (pos + 4 > n) return 0;
-    int32_t cand = head[hash4(data + pos)];
+    int32_t cand = head[h];
     int d = depth;
     u32 maxl = (u32)((n - pos < kMaxLen) ? (n - pos) : kMaxLen);
     u32 best = 1;
@@ -712,25 +712,30 @@ struct Encoder {
           }
         };
 
-        // literal
-        u8 lit_state = st < 4 ? 0 : (st < 10 ? st - 3 : st - 6);
-        u32 litp;
-        if (st < 7) {  // no matched-byte path: per-window cacheable
-          if (lit_cache[i] == 0xFFFFFFFFu) lit_cache[i] = price_lit_tree(data, ap);
-          litp = g_prices.p0(is_match[(st << 4) + ps]) + lit_cache[i];
-        } else {
-          litp = price_literal(data, ap, st, nd.reps[0], ps);
-        }
-        relax(i + 1, nd.price + litp, 1, 0, lit_state, nd.reps);
-        // shortrep
-        if (ap >= nd.reps[0] + 1 && ap > 0 &&
-            data[ap] == data[ap - nd.reps[0] - 1]) {
-          relax(i + 1, nd.price + price_shortrep(st, ps), 1, 1,
-                (u8)(st < 7 ? 9 : 11), nd.reps);
+        // literal / shortrep (skipped when i+1 is already cheaper: every
+        // op price is strictly positive, so no single-byte op can relax it)
+        if (nd.price < nodes[i + 1].price) {
+          u8 lit_state = st < 4 ? 0 : (st < 10 ? st - 3 : st - 6);
+          u32 litp;
+          if (st < 7) {  // no matched-byte path: per-window cacheable
+            if (lit_cache[i] == 0xFFFFFFFFu) lit_cache[i] = price_lit_tree(data, ap);
+            litp = g_prices.p0(is_match[(st << 4) + ps]) + lit_cache[i];
+          } else {
+            litp = price_literal(data, ap, st, nd.reps[0], ps);
+          }
+          relax(i + 1, nd.price + litp, 1, 0, lit_state, nd.reps);
+          // shortrep
+          if (ap >= nd.reps[0] + 1 && ap > 0 &&
+              data[ap] == data[ap - nd.reps[0] - 1]) {
+            relax(i + 1, nd.price + price_shortrep(st, ps), 1, 1,
+                  (u8)(st < 7 ? 9 : 11), nd.reps);
+          }
         }
         // rep matches
         u32 max_l_here = 0;
         for (int r = 0; r < 4; r++) {
+          u32 dd0 = nd.reps[r];
+          if (dd0 + 1 > ap || data[ap] != data[ap - dd0 - 1]) continue;
           u32 L = match_len(data, n, ap, nd.reps[r]);
           if (L > max_l_here) max_l_here = L;
           if (L > (u32)(B - i)) L = (u32)(B - i);
@@ -754,9 +759,13 @@ struct Encoder {
         }
         // normal matches (skipped inside long runs)
         int nc = 0;
+        u32 h_ap = ap + 4 <= n ? hash4(data + ap) : 0;
         if (ap >= skip_mf_until)
-          nc = collect_matches(data, n, ap, mlens, mdists, 64);
-        insert(data, n, ap);
+          nc = collect_matches(data, n, ap, mlens, mdists, 64, h_ap);
+        if (ap + 4 <= n) {
+          prevp[ap] = head[h_ap];
+          head[h_ap] = (int32_t)ap;
+        }
         if (nc) {
           u32 lm = mlens[nc - 1];
           if (lm > max_l_here) max_l_here = lm;
