@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Rate-distortion parity sweep against the reference demo streams.
+
+Encodes the demo contents at several quality operating points and reports
+(bitrate, RGB-PSNR vs input, PSNR-HVS) per point, next to the reference
+stream's own header bitrate — the committed parity evidence for
+BASELINE.md's "PSNR within 0.5 dB at matched bitrate".
+
+The original y4m sources are not in the snapshot (.MISSING_LARGE_BLOBS),
+so the reference-DECODED frames stand in as the source for both encoders'
+comparison: the reference's own operating point is by construction
+(its bitrate, +inf PSNR vs itself); ours is (our bitrate, our PSNR vs
+that input). Matching the reference bitrate with high PSNR against its
+decode is the strongest parity statement available without the originals.
+
+Usage:
+  python scripts/parity_rd.py [city|football] [q1,q2,...] [--ab]
+
+--ab additionally A/Bs int16_features, motion_rank_dims=48 and
+count_predicted_tiles at the default quality.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def encode_point(frames, fps, ref_bps, label, **overrides):
+    from tiler_tpu.bitstream.gtm import GTMDecoder
+    from tiler_tpu.config import EncoderSettings
+    from tiler_tpu.pipeline.encoder import Encoder
+
+    settings = EncoderSettings(
+        palette_count=overrides.pop("palette_count", 128),
+        palette_size=16,
+        motion_predict_radius=32,
+        global_tiling_quality_based_tile_count=overrides.pop("quality", 7.0),
+        epu_knn_k=overrides.pop("epu_knn_k", 64),
+    )
+    for k, v in overrides.items():
+        setattr(settings, k, v)
+    enc = Encoder(settings, log=lambda *a: None)
+    t0 = time.time()
+    enc.run_all(frames, fps=fps, out_path="/tmp/parity_ours.gtm")
+    wall = time.time() - t0
+    ours = np.stack(
+        [f[..., :3] for f in GTMDecoder("/tmp/parity_ours.gtm").decode_frames()]
+    )
+    mse = np.mean((ours.astype(np.float64) - frames.astype(np.float64)) ** 2)
+    psnr = 10 * np.log10(255 * 255 / max(mse, 1e-9))
+    bps = enc.stats.total_bytes * fps / len(frames)
+    row = {
+        "label": label,
+        "bytes": enc.stats.total_bytes,
+        "bytes_per_sec": round(bps),
+        "x_reference": round(bps / ref_bps, 3),
+        "rgb_psnr_db": round(psnr, 2),
+        "psnr_hvs_db": round(enc.state.total_psnr, 2),
+        "encode_s": round(wall, 1),
+        "encode_fps": round(len(frames) / wall, 2),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tiler_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from tiler_tpu.bitstream.gtm import GTMDecoder, parse_header
+
+    content = sys.argv[1] if len(sys.argv) > 1 else "city"
+    qualities = (
+        [float(q) for q in sys.argv[2].split(",")]
+        if len(sys.argv) > 2 and not sys.argv[2].startswith("--")
+        else [3.0, 7.0, 12.0]
+    )
+    do_ab = "--ab" in sys.argv
+
+    demo = f"/root/reference/docs/demo/{content}_cif.gtm"
+    header = parse_header(open(demo, "rb").read(68))
+    ref_bps = header["avg_bytes_per_sec"]
+    frames = np.stack([f[..., :3] for f in GTMDecoder(demo).decode_frames()])
+    fps = 25.0
+    print(f"# {content}: {len(frames)} frames, reference {ref_bps} B/s", flush=True)
+
+    rows = []
+    for q in qualities:
+        rows.append(encode_point(frames, fps, ref_bps, f"q={q}", quality=q))
+    if do_ab:
+        rows.append(encode_point(frames, fps, ref_bps, "q=7+int16",
+                                 int16_features=True))
+        rows.append(encode_point(frames, fps, ref_bps, "q=7+rank48",
+                                 motion_rank_dims=48))
+        rows.append(encode_point(frames, fps, ref_bps, "q=7+countpred",
+                                 count_predicted_tiles=True))
+    print(json.dumps({"content": content, "ref_bps": ref_bps, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
