@@ -215,77 +215,46 @@ def _kmeans_small(points, weights, k, iters, seed):
 @functools.partial(jax.jit, static_argnames=("S", "max_rounds", "max_inner"))
 def _optimize_palettes_dev(pal, valid, S: int, max_rounds: int, max_inner: int):
     """Device 2-opt on the OptimizePalettes objective — one fused program
-    (the host-numpy version of this loop cost ~4.5s/encode at P=1024)."""
+    (the host-numpy version of this loop cost ~4.5s/encode at P=1024).
+
+    Swap gains use the cancellation-free identity
+        (ti+rj)^2 + (tj+ri)^2 - (ti+ri)^2 - (tj+rj)^2 = 2*(rj-ri)*(ti-tj)
+    and  sqrt(a+d) - sqrt(a) = d / (sqrt(a+d) + sqrt(a)),
+    so a gain is trusted down to ~1e-7 relative even though the raw
+    objective is ~5e4 at P=1024 (naive fp32 obj_new - obj_cur had ~6e-3
+    of rounding noise above the 1e-4 threshold, which made every palette
+    "improve" forever: 3842 lockstep iterations, all caps hit, 1.9-3.4s;
+    the stable form converges on true gains only)."""
     wch = jnp.array([RED_MUL, GREEN_MUL, BLUE_MUL], jnp.float32) / LUMA_DIV
     iu_i, iu_j = np.triu_indices(S, 1)
-    npairs = len(iu_i)
-    # pairs sharing a slot conflict: used to apply several DISJOINT swaps
-    # per iteration (disjoint swaps change disjoint ss terms, so their
-    # combined per-channel delta is exactly additive; the outer loop's
-    # objective check still guards the nonlinear sqrt combination)
-    conflict = (
-        (iu_i[:, None] == iu_i[None, :]) | (iu_i[:, None] == iu_j[None, :])
-        | (iu_j[:, None] == iu_i[None, :]) | (iu_j[:, None] == iu_j[None, :])
-    )
-    conflict_d = jnp.asarray(conflict)
     iu_i = jnp.asarray(iu_i, jnp.int32)
     iu_j = jnp.asarray(iu_j, jnp.int32)
     mean = pal.sum(axis=(0, 1)) / S  # MeanR/G/B (tilingencoder.pas:4374-4380)
     slots = jnp.arange(S, dtype=jnp.int32)[None, :]
-    n_multi = 4  # disjoint swaps applied per sequential iteration
 
     def inner(t):
+        dt2 = 2.0 * (t[:, iu_i] - t[:, iu_j])  # [P, pairs, 3], loop-invariant
+
         def body(c):
             pal, valid, it, _ = c
             d = t + pal
             ss = jnp.sum(d * d, axis=1)  # [P, 3]
-            ti = t[:, :, None, :]
-            tj = t[:, None, :, :]
-            ri = pal[:, :, None, :]
-            rj = pal[:, None, :, :]
-            dss = (ti + rj) ** 2 + (tj + ri) ** 2 - (ti + ri) ** 2 - (tj + rj) ** 2
-            obj_new = jnp.sum(
-                wch * jnp.sqrt(jnp.maximum(ss[:, None, None, :] + dss, 0) / S), -1
-            )
-            obj_cur = jnp.sum(wch * jnp.sqrt(ss / S), -1)  # [P]
-            gain = (obj_new - obj_cur[:, None, None])[:, iu_i, iu_j]
-            perm = jnp.broadcast_to(slots, (pal.shape[0], S))
-            perm1 = perm
-            any_do = jnp.bool_(False)
-            for pick in range(n_multi):  # greedy disjoint picks (unrolled)
-                best = jnp.argmax(gain, axis=1)
-                bg = jnp.take_along_axis(gain, best[:, None], 1)[:, 0]
-                do = bg > 1e-4  # fp32 epsilon (host float64 used 1e-9)
-                if pick == 0:
-                    # convergence is judged on the FIRST pick only (fresh
-                    # gain); later picks use stale gains
-                    any_do = jnp.any(do)
-                bi = iu_i[best][:, None]
-                bj = iu_j[best][:, None]
-                sw = jnp.where(slots == bi, bj, jnp.where(slots == bj, bi, slots))
-                sw = jnp.where(do[:, None], sw, slots)
-                perm = jnp.take_along_axis(perm, sw, axis=1)
-                if pick == 0:
-                    perm1 = perm
-                gain = jnp.where(
-                    do[:, None] & conflict_d[best], -jnp.inf, gain
-                )
-
-            def obj_of(p):
-                dd = t + p
-                return jnp.sum(wch * jnp.sqrt(jnp.sum(dd * dd, axis=1) / S), -1)
-
-            # stale-gain multi-swaps can overshoot the nonlinear objective
-            # and oscillate (measured: 2x SLOWER than single-swap when
-            # unguarded); keep the multi-swap only where it truly beats the
-            # fresh single best swap
-            pal_m = jnp.take_along_axis(pal, perm[:, :, None], axis=1)
-            pal_1 = jnp.take_along_axis(pal, perm1[:, :, None], axis=1)
-            use_m = (obj_of(pal_m) > obj_of(pal_1))[:, None]
-            perm = jnp.where(use_m, perm, perm1)
-            pal2 = jnp.where(use_m[..., None], pal_m, pal_1)
-            valid2 = jnp.take_along_axis(valid, perm, axis=1)
-            return pal2, valid2, it + 1, any_do
+            dss = (pal[:, iu_j] - pal[:, iu_i]) * dt2  # exact delta of ss
+            sq_cur = jnp.sqrt(ss / S)  # [P, 3]
+            sq_new = jnp.sqrt(jnp.maximum(ss[:, None, :] + dss, 0) / S)
+            gain = jnp.sum(
+                wch * (dss / S) / (sq_new + sq_cur[:, None, :] + 1e-20), -1
+            )  # [P, pairs]
+            best = jnp.argmax(gain, axis=1)
+            bg = jnp.take_along_axis(gain, best[:, None], 1)[:, 0]
+            do = bg > 1e-4
+            bi = iu_i[best][:, None]
+            bj = iu_j[best][:, None]
+            sw = jnp.where(slots == bi, bj, jnp.where(slots == bj, bi, slots))
+            sw = jnp.where(do[:, None], sw, slots)
+            pal2 = jnp.take_along_axis(pal, sw[:, :, None], axis=1)
+            valid2 = jnp.take_along_axis(valid, sw, axis=1)
+            return pal2, valid2, it + 1, jnp.any(do)
 
         return body
 
@@ -300,12 +269,14 @@ def _optimize_palettes_dev(pal, valid, S: int, max_rounds: int, max_inner: int):
         )
         dall = (pal.sum(axis=0, keepdims=True) - pal) + pal - mean[None, None, :]
         obj = jnp.mean(jnp.sum(wch * jnp.sqrt(jnp.sum(dall**2, 1) / S), -1))
-        return pal, valid, obj, r + 1, obj > prev_obj + 1e-4
+        # relative threshold: the fp32 objective itself carries ~1e-7
+        # relative noise, so an absolute epsilon would never converge
+        return pal, valid, obj, r + 1, obj > prev_obj * (1 + 1e-5)
 
     pal, valid, _, _, _ = jax.lax.while_loop(
         lambda c: c[4] & (c[3] < max_rounds),
         outer_body,
-        (pal, valid, jnp.float32(-jnp.inf), jnp.int32(0), jnp.bool_(True)),
+        (pal, valid, jnp.float32(0), jnp.int32(0), jnp.bool_(True)),
     )
     return pal, valid
 
