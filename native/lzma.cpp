@@ -697,6 +697,18 @@ struct Encoder {
         Node& nd = nodes[i];
         if (nd.price == 0xFFFFFFFFu) continue;
         size_t ap = pos + i;
+        // software pipeline: the match finder's misses are data+cand and
+        // prevp[cand], unknown until head[h] is read — but head (512KB)
+        // stays in L2, so reading the FUTURE position's bucket now and
+        // prefetching its candidate hides ~a miss per position. The stale
+        // head read is only a hint; correctness is untouched.
+        if (ap + 8 + 4 <= n) {
+          int32_t cf = head[hash4(data + ap + 8)];
+          if (cf >= 0) {
+            __builtin_prefetch(data + cf);
+            __builtin_prefetch(&prevp[cf]);
+          }
+        }
         u32 ps = (u32)ap & pb_mask;
         int st = nd.st;
 

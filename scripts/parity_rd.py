@@ -83,7 +83,7 @@ def main():
     do_ab = "--ab" in sys.argv
 
     demo = f"/root/reference/docs/demo/{content}_cif.gtm"
-    header = parse_header(open(demo, "rb").read(68))
+    header = parse_header(open(demo, "rb").read(4096))  # 40 + 28/keyframe
     ref_bps = header["avg_bytes_per_sec"]
     frames = np.stack([f[..., :3] for f in GTMDecoder(demo).decode_frames()])
     fps = 25.0

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Sub-phase profile of reconstruct (phase A KNN + EPU, phase B scan) and
+load at bench shapes. Run with the chip idle; pass --trace to also dump a
+jax.profiler trace to /tmp/tiler_trace."""
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tiler_tpu_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(label, fn, n=2):
+    fn()  # warm (compile)
+    best = np.inf
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    print(f"{label:52s} {best*1e3:9.1f} ms", flush=True)
+    return best
+
+
+def main():
+    from bench import synthetic_clip
+    from tiler_tpu.config import EncoderSettings
+    from tiler_tpu.pipeline.encoder import Encoder
+    from tiler_tpu.pipeline import reconstruct as RC
+    from tiler_tpu.pipeline.motion import tile_features_raster, _motion_core
+    from tiler_tpu.ops.color import rgb_to_yuv
+
+    F, H, W = 16, 720, 1280
+    clip = synthetic_clip(F, H, W)
+    settings = EncoderSettings(
+        palette_count=1024, palette_size=16, motion_predict_radius=32,
+        global_tiling_quality_based_tile_count=7.0, epu_knn_k=64,
+    )
+    enc = Encoder(settings, log=lambda *a: None)
+    enc.load_frames(clip, fps=25.0)
+    enc.predict_motion()
+    enc.reduce()
+    enc.prepare_palettes()
+    enc.dither()
+    st = enc.state
+    S = settings.palette_size
+    T = len(st.corpus_pal_pixels)
+    N = st.tilemap_size
+    print(f"T={T} N={N} F={F}", flush=True)
+
+    rendered = RC._render_corpus_dev(
+        jnp.asarray(st.palettes_rgb),
+        jnp.asarray(st.corpus_pal_initial.astype(np.int32)),
+        jnp.asarray(st.corpus_pal_pixels),
+    )
+    dsj = tile_features_raster(rendered.astype(jnp.float32))
+    jax.block_until_ready(dsj)
+    Tpad = 256
+    while Tpad < T:
+        Tpad *= 2
+
+    tiles0 = jnp.asarray(st.tiles_canon[jnp.asarray([0])]).reshape(1, N, 8, 8, 3)
+    feats0 = tile_features_raster(tiles0.reshape(-1, 8, 8, 3).astype(jnp.float32))
+    jax.block_until_ready(feats0)
+
+    timeit("feats one frame", lambda: tile_features_raster(
+        tiles0.reshape(-1, 8, 8, 3).astype(jnp.float32)))
+    timeit(f"topk_oneshot k=64 one frame (Tpad={Tpad})",
+           lambda: RC._topk_oneshot(feats0, dsj, 64, Tpad))
+    timeit("topk_oneshot k=1 one frame",
+           lambda: RC._topk_oneshot(feats0, dsj, 1, Tpad))
+
+    G = RC._indicator_dcts(st.corpus_pal_pixels, S).astype(jnp.bfloat16)
+    Q = RC._tile_quad(G, S)
+    jax.block_until_ready((G, Q))
+    pal_initial = jnp.asarray(st.corpus_pal_initial.astype(np.int32))
+    pal_yuv = rgb_to_yuv(jnp.asarray(st.palettes_rgb, jnp.float32))
+    pp_dev = jnp.asarray(st.corpus_pal_pixels)
+    palettes_dev = jnp.asarray(st.palettes_rgb)
+
+    idx, err = RC._topk_oneshot(feats0, dsj, 64, Tpad)
+    cand_idx = jnp.sort(idx, axis=1)
+    cand_pal = jnp.sort(pal_initial[idx], axis=1)
+    jax.block_until_ready((cand_idx, cand_pal))
+    kk = 64
+    per_cell = kk * (64 * S * 2 + 3 * S * S * 4) + kk * 3 * S * S * 4
+    cell_chunk = max(64, min(4096, int(3e8 / per_cell)))
+    print(f"cell_chunk={cell_chunk}", flush=True)
+    timeit("epu_rank_all one frame",
+           lambda: RC._epu_rank_all(feats0, cand_idx, cand_pal, G, pal_yuv, S,
+                                    cell_chunk=cell_chunk, Q=Q))
+    t_, p_, _ = RC._epu_rank_all(feats0, cand_idx, cand_pal, G, pal_yuv, S,
+                                 cell_chunk=cell_chunk, Q=Q)
+    timeit("exact_choice_err one frame",
+           lambda: RC._exact_choice_err(feats0, t_, p_, pp_dev, palettes_dev))
+
+    tiles_all = jnp.asarray(st.tiles_canon).reshape(F, N, 8, 8, 3)
+    timeit("knn_all_frames (16f, full phase A)",
+           lambda: RC._knn_all_frames(
+               tiles_all, dsj, G, Q, pal_initial, pal_yuv, pp_dev,
+               palettes_dev, kk=kk, pal_k=kk, S=S, cell_chunk=cell_chunk,
+               epu=True, int16=False), n=1)
+
+    # phase B pieces
+    fr0 = jnp.asarray(st.frames_rgb[0]).astype(jnp.float32)
+    fr1 = jnp.asarray(st.frames_rgb[1]).astype(jnp.float32)
+    timeit("motion_core one frame (radius 32)",
+           lambda: _motion_core(fr1, fr0, 32, False, 192))
+
+    kt, kp, ke = RC._knn_phase(st, settings)
+    th, tw = st.tilemap_h, st.tilemap_w
+    tm = st.tilemap
+    timeit("phase_b_scan (16 frames, 1 KF)",
+           lambda: RC._phase_b_scan(
+               jnp.asarray(st.frames_rgb), jnp.asarray(kt), jnp.asarray(kp),
+               jnp.asarray(ke), jnp.asarray(tm.hmirror), jnp.asarray(tm.vmirror),
+               jnp.asarray(np.eye(1, F, 0, bool)[0]), pp_dev, palettes_dev,
+               32, th, tw, False, 192), n=1)
+
+    if "--trace" in sys.argv:
+        with jax.profiler.trace("/tmp/tiler_trace"):
+            jax.block_until_ready(RC._knn_all_frames(
+                tiles_all, dsj, G, Q, pal_initial, pal_yuv, pp_dev,
+                palettes_dev, kk=kk, pal_k=kk, S=S, cell_chunk=cell_chunk,
+                epu=True, int16=False))
+        print("trace written to /tmp/tiler_trace", flush=True)
+
+
+if __name__ == "__main__":
+    main()
