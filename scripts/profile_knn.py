@@ -16,13 +16,27 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(label, fn, n=2):
-    fn()  # warm (compile)
+_PULL_LAT = [0.0]
+
+
+def _force(r):
+    """block_until_ready is NOT sufficient on the axon tunnel (unconsumed
+    dispatches get elided and report ready in ~0.1ms); a 4-byte d2h of a
+    reduction over every output leaf forces real execution."""
+    leaves = [l for l in jax.tree_util.tree_leaves(r)
+              if hasattr(l, "astype")]
+    s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+    return float(s)
+
+
+def timeit(label, fn, n=3):
+    _force(fn())  # warm (compile)
     best = np.inf
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _force(fn())
         best = min(best, time.perf_counter() - t0)
+    best = max(0.0, best - _PULL_LAT[0])
     print(f"{label:52s} {best*1e3:9.1f} ms", flush=True)
     return best
 
@@ -41,6 +55,17 @@ def main():
         palette_count=1024, palette_size=16, motion_predict_radius=32,
         global_tiling_quality_based_tile_count=7.0, epu_knn_k=64,
     )
+    # measure the scalar-pull latency baseline (subtracted from timings)
+    z = jnp.zeros((8, 8), jnp.float32)
+    _force(z + 1)
+    lats = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _force(z + 1)
+        lats.append(time.perf_counter() - t0)
+    _PULL_LAT[0] = float(np.median(lats))
+    print(f"pull latency baseline: {_PULL_LAT[0]*1e3:.1f} ms", flush=True)
+
     enc = Encoder(settings, log=lambda *a: None)
     enc.load_frames(clip, fps=25.0)
     enc.predict_motion()
@@ -131,5 +156,44 @@ def main():
         print("trace written to /tmp/tiler_trace", flush=True)
 
 
+
+
+def topk_ab():
+    """A/B the XLA approx_max_k path vs the Pallas bucket kernel at bench
+    shapes (python scripts/profile_knn.py --ab)."""
+    from tiler_tpu.kernels.knn_topk import knn_bucket_topk, TB, SB
+
+    rng = np.random.default_rng(0)
+    N, T = 14400, 115537
+    feats = jnp.asarray(rng.normal(0, 500, (N, 192)).astype(np.float32))
+    ds = jnp.asarray(rng.normal(0, 500, (T, 192)).astype(np.float32))
+    jax.block_until_ready((feats, ds))
+
+    z = jnp.zeros((8, 8), jnp.float32)
+    lats = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _force(z + 1)
+        lats.append(time.perf_counter() - t0)
+    _PULL_LAT[0] = float(np.median(lats))
+    print(f"pull latency baseline: {_PULL_LAT[0]*1e3:.1f} ms", flush=True)
+
+    from tiler_tpu.pipeline import reconstruct as RC
+    Tpad = 256
+    while Tpad < T:
+        Tpad *= 2
+    timeit("xla approx_max_k k=64", lambda: RC._topk_oneshot(feats, ds, 64, Tpad))
+    Tp = -(-T // 16384) * 16384
+    dsp = jnp.pad(ds, ((0, Tp - T), (0, 0)))
+    d2p = jnp.sum(dsp * dsp, axis=1) + jnp.where(jnp.arange(Tp) < T, 0.0, 1e30)
+    jax.block_until_ready((dsp, d2p))
+    timeit("pallas bucket_topk k=64", lambda: knn_bucket_topk(feats, dsp, d2p, 64))
+    timeit("pallas bucket_topk k=1", lambda: knn_bucket_topk(feats, dsp, d2p, 1))
+    timeit("xla topk k=1", lambda: RC._topk_oneshot(feats, ds, 1, Tpad))
+
+
 if __name__ == "__main__":
-    main()
+    if "--ab" in sys.argv:
+        topk_ab()
+    else:
+        main()

@@ -172,15 +172,29 @@ def _lowfreq_tiles(T, dims: int):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _dct_basis64():
+    """[(y,x), (v,u)] 2D-DCT basis, accumulated in float64."""
+    D = np.asarray(DCT_MAT, np.float64)
+    return np.einsum("vy,ux->vuyx", D, D).reshape(64, 64).T.astype(np.float32)
+
+
 def tile_features_raster(tiles_rgb):
     """Weighted-DCT YUV features in (c, v, u) raster layout (no zigzag);
-    tiles_rgb [..., 8, 8, 3] -> [..., 192]."""
+    tiles_rgb [..., 8, 8, 3] -> [..., 192].
+
+    One [*, 64] x [64, 64] basis matmul (HIGH precision, ~fp32 mantissa)
+    instead of two 8-dim HIGHEST contractions: 8-wide dots pad the MXU
+    tile 16x in both K and N (<1% utilization) and HIGHEST doubles the
+    bf16 pass count again — measured 31.6 ms -> ~2 ms for one 720p
+    frame's 14400 tiles."""
     yuv = rgb_to_yuv(tiles_rgb.astype(jnp.float32))
-    D = jnp.asarray(DCT_MAT, jnp.float32)
-    z = jnp.einsum("vy,...yxc,ux->...cvu", D, yuv, D, precision="highest")
-    w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
-    z = z * w
-    return z.reshape(*z.shape[:-3], K)
+    lead = yuv.shape[:-3]
+    x = jnp.moveaxis(yuv, -1, -3).reshape(*lead, 3, 64)
+    z = jnp.matmul(x, jnp.asarray(_dct_basis64()),
+                   precision=jax.lax.Precision.HIGH)  # [..., 3, (v,u)]
+    w = jnp.asarray(DCT_WEIGHTS, jnp.float32).reshape(3, 64)
+    return (z * w).reshape(*lead, K)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "int16", "rank_dims"))

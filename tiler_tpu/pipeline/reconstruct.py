@@ -37,6 +37,7 @@ Deviations (both flag-controlled, A/B numbers in docs/PERF.md):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -161,23 +162,28 @@ def _topk_oneshot(feats, ds, k: int, Tpad: int):
 
 @functools.partial(jax.jit, static_argnames=("S",))
 def _tile_quad(G, S: int):
-    """Per-tile quadratic form Q[t, (c,s,s')] = sum_v wf[v,c]^2 G[t,v,s] G[t,v,s'].
+    """Per-tile quadratic form, packed upper triangle:
+    Q[t, (c, s<=s')] = sum_v wf[v,c]^2 G[t,v,s] G[t,v,s'] (off-diagonal
+    entries pre-doubled, so quad = Q . R with R[j,(c,s<=s')] =
+    Py[j,s,c] Py[j,s',c]).
 
-    With it, |rendered feature|^2 of the pair (tile t, palette j) becomes
-    the dot product Q[t] . R[j] where R[j, (c,s,s')] = Py[j,s,c] Py[j,s',c]
-    — the whole [T, P] quadratic term of the cartesian error factors into
-    two matmuls, so the EPU re-rank never materializes per-pair rendered
-    features (the old [cells, kk, kp, 64, 3] tensor cost ~45 GB of HBM
-    traffic per 720p frame). [T, 3*S*S] float32."""
+    With it, |rendered feature|^2 of the pair (tile t, palette j) is a dot
+    product — the whole [T, P] quadratic term of the cartesian error
+    factors into matmuls, so the EPU re-rank never materializes per-pair
+    rendered features (the old [cells, kk, kp, 64, 3] tensor cost ~45 GB
+    of HBM traffic per 720p frame); the symmetry packing cuts the gather
+    and contraction width S*S -> S(S+1)/2. [T, 3*S*(S+1)/2] float32."""
     w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
     wf2 = (w * w).transpose(1, 2, 0).reshape(64, 3)  # [v, c]
+    tri_i, tri_j = np.triu_indices(S)
+    dbl = jnp.asarray((tri_i != tri_j) + 1.0, jnp.float32)  # [ntri]
     Gf = G.astype(jnp.float32)
     outs = [
         jnp.einsum("tvs,tvu->tsu", Gf * wf2[:, c][None, :, None], Gf,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32)[:, tri_i, tri_j] * dbl
         for c in range(3)
     ]
-    return jnp.stack(outs, axis=1).reshape(G.shape[0], 3 * S * S)
+    return jnp.stack(outs, axis=1).reshape(G.shape[0], -1)
 
 
 @functools.partial(jax.jit, static_argnames=("S", "cell_chunk"))
@@ -188,17 +194,21 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
     feats [B, 192]; cand_idx/cand_pal [B, kk] sorted ascending; G [T,64,S];
     pal_yuv [P, S, 3]. Returns (tile [B], pal [B], err [B]).
 
-    Norm-expansion formulation: err(cell, i, j) = |rf|^2 - 2<rf, ft> + |ft|^2
-    with rf = (G_i @ Py_j) * wf. The quadratic term comes from the per-tile
-    table Q (see _tile_quad) dotted with the palette outer products; the
-    cross term contracts G_i with (ft * wf) first — everything is a batched
-    matmul, nothing per-pair larger than [chunk, kk, kp] is materialized."""
+    Norm-expansion formulation: argmin over (i, j) of
+    |rf|^2 - 2<rf, ft> (the per-cell |ft|^2 is pair-invariant and dropped;
+    the true error of the winner is recomputed by _exact_choice_err) with
+    rf = (G_i @ Py_j) * wf. The quadratic term comes from the per-tile
+    triangle-packed table Q (see _tile_quad) dotted with the palette outer
+    products, and quad/cross are FUSED into one [*, ntri*3 + S*3]
+    HIGH-precision matmul — everything is a batched matmul, nothing
+    per-pair larger than [chunk, kk, kp] is materialized."""
     B, kk = cand_idx.shape
     kp = cand_pal.shape[1]
     w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
     wf = w.transpose(1, 2, 0).reshape(64, 3)  # [vu, c]
     if Q is None:
         Q = _tile_quad(G, S)
+    tri_i, tri_j = np.triu_indices(S)
     nch = -(-B // cell_chunk)
     Bp = nch * cell_chunk
     featsp = jnp.pad(feats, ((0, Bp - B), (0, 0)))
@@ -215,20 +225,21 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
         C = jnp.einsum("bkvs,bvc->bksc", Gi, ftw.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)  # [b, kk, S, 3]
         Py = pal_yuv[cp]  # [b, kp, S, 3] f32
-        cross = jnp.einsum("bksc,bjsc->bkj", C, Py,
-                           precision=jax.lax.Precision.HIGH,
-                           preferred_element_type=jnp.float32)
         Pc = Py.transpose(0, 1, 3, 2)  # [b, kp, 3, S]
-        Rj = (Pc[..., :, None] * Pc[..., None, :]).reshape(cell_chunk, kp, -1)
-        Qi = Q[ci]  # [b, kk, 3*S*S] f32
-        # HIGH (bf16_3x) keeps ~f32 mantissa in the norm expansion, whose
-        # cancellation (quad ~ 1e7, err ~ 1e4) would otherwise lose ranking
-        # gaps; the matmul FLOPs are negligible next to the gather traffic
-        quad = jnp.einsum("bkx,bjx->bkj", Qi, Rj,
-                          precision=jax.lax.Precision.HIGH,
-                          preferred_element_type=jnp.float32)
-        f2 = jnp.sum(f * f, axis=1)
-        err = (quad - 2.0 * cross + f2[:, None, None]).reshape(cell_chunk, kk * kp)
+        Rj = (Pc[..., tri_i] * Pc[..., tri_j]).reshape(cell_chunk, kp, -1)
+        Qi = Q[ci]  # [b, kk, 3*ntri] f32 (triangle-packed, see _tile_quad)
+        # one fused contraction for quad - 2*cross. HIGH (bf16_3x) keeps
+        # ~f32 mantissa in the norm expansion, whose cancellation
+        # (quad ~ 1e7, gaps ~ 1e3) would otherwise lose ranking order;
+        # the matmul FLOPs are negligible next to the gather traffic
+        A = jnp.concatenate(
+            [Qi, -2.0 * C.reshape(cell_chunk, kk, S * 3)], axis=2)
+        Bm = jnp.concatenate(
+            [Rj, Py.reshape(cell_chunk, kp, S * 3)], axis=2)
+        err = jnp.einsum("bkx,bjx->bkj", A, Bm,
+                         precision=jax.lax.Precision.HIGH,
+                         preferred_element_type=jnp.float32
+                         ).reshape(cell_chunk, kk * kp)
         best = jnp.argmin(err, axis=1)
         bi, bj = best // kp, best % kp
         return None, (
@@ -243,11 +254,12 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kk", "pal_k", "S", "cell_chunk", "epu", "int16"),
+    static_argnames=("kk", "pal_k", "S", "cell_chunk", "epu", "int16",
+                     "pallas_topk"),
 )
 def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
                     kk: int, pal_k: int, S: int, cell_chunk: int,
-                    epu: bool, int16: bool):
+                    epu: bool, int16: bool, pallas_topk: bool = False):
     """Phase A for ALL frames in one device program (lax.map runs frames
     sequentially, so the [cells, Tpad] ranking matrix is a per-iteration
     transient) — one dispatch + one packed d2h instead of per-frame round
@@ -258,12 +270,26 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
     Tpad = 256
     while Tpad < T:
         Tpad *= 2
+    if pallas_topk:
+        from ..kernels.knn_topk import knn_bucket_topk, TB
+
+        # pad to the kernel's bucket width in 16384 steps (bounds both the
+        # compiled size classes and the pad waste; the pow2 padding of the
+        # XLA path wastes up to 2x)
+        Tp = -(-T // 16384) * 16384
+        dsp = jnp.pad(dsj, ((0, Tp - T), (0, 0)))
+        d2p = jnp.sum(dsp * dsp, axis=1) + jnp.where(
+            jnp.arange(Tp) < T, 0.0, 1e30
+        )
 
     def per_frame(tiles_f):
         feats = tile_features_raster(tiles_f.astype(jnp.float32))  # [N, 192]
         if int16:
             feats = jnp.round(feats)
-        idx, err = _topk_oneshot(feats, dsj, kk, Tpad)
+        if pallas_topk:
+            idx, err = knn_bucket_topk(feats, dsp, d2p, kk)
+        else:
+            idx, err = _topk_oneshot(feats, dsj, kk, Tpad)
         if not epu:
             d = feats - dsj[idx[:, 0]]
             exact = jnp.sum(d * d, axis=1)
@@ -322,13 +348,28 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
     # (palettes of the best-ranked tiles) quarters the cartesian re-rank
     # with negligible quality impact.
     # cell_chunk bounds the gathered per-chunk operands (Gi + Qi + Rj)
-    per_cell = kk * (64 * S * 2 + 3 * S * S * 4) + pal_k * 3 * S * S * 4
+    ntri3 = 3 * (S * (S + 1) // 2)
+    per_cell = kk * (64 * S * 2 + ntri3 * 4) + pal_k * ntri3 * 4
     cell_chunk = max(64, min(4096, int(3e8 / per_cell)))
 
     pal_initial = jnp.asarray(state.corpus_pal_initial.astype(np.int32))
     pal_yuv = rgb_to_yuv(jnp.asarray(state.palettes_rgb, jnp.float32))
     pp_dev = jnp.asarray(state.corpus_pal_pixels)
     palettes_dev = jnp.asarray(state.palettes_rgb)
+    # fused Pallas distance+bucket-top2 kernel (kernels/knn_topk.py): needs
+    # a TPU backend and a corpus much wider than kk buckets so the bucket
+    # top-2s can cover the top-kk (below that, the XLA approx_max_k path)
+    from ..kernels.knn_topk import TB as _TB
+
+    # default stays on the XLA approx_max_k path: the first kernel cut the
+    # HBM traffic 75x but measured 73ms vs 23ms/frame (VPU-bound bucket
+    # argmin epilogue); opt in with TILER_TPU_TOPK=pallas until the
+    # epilogue is fixed
+    pallas_topk = (
+        jax.default_backend() not in ("cpu",)
+        and T >= 2 * kk * _TB
+        and os.environ.get("TILER_TPU_TOPK", "xla") == "pallas"
+    )
     if epu:
         # NOTE: a global [T, P] norm TABLE indexed per (tile, palette) pair
         # was measured 15x SLOWER on v5e (scalar gathers, ~60M elem/s); the
@@ -361,7 +402,7 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
                 tiles_dev, dsj, G, Q, pal_initial, pal_yuv, pp_dev,
                 palettes_dev, kk=kk, pal_k=pal_k, S=S,
                 cell_chunk=cell_chunk, epu=epu,
-                int16=settings.int16_features,
+                int16=settings.int16_features, pallas_topk=pallas_topk,
             ))
             outs.append(packed[:, :g])
         packed = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)
