@@ -183,12 +183,13 @@ def topk_ab():
     while Tpad < T:
         Tpad *= 2
     timeit("xla approx_max_k k=64", lambda: RC._topk_oneshot(feats, ds, 64, Tpad))
-    Tp = -(-T // 16384) * 16384
+    Tp = -(-T // 4096) * 4096
     dsp = jnp.pad(ds, ((0, Tp - T), (0, 0)))
+    dsT = dsp.astype(jnp.bfloat16).T
     d2p = jnp.sum(dsp * dsp, axis=1) + jnp.where(jnp.arange(Tp) < T, 0.0, 1e30)
-    jax.block_until_ready((dsp, d2p))
-    timeit("pallas bucket_topk k=64", lambda: knn_bucket_topk(feats, dsp, d2p, 64))
-    timeit("pallas bucket_topk k=1", lambda: knn_bucket_topk(feats, dsp, d2p, 1))
+    jax.block_until_ready((dsT, d2p))
+    timeit("pallas bucket_topk k=64", lambda: knn_bucket_topk(feats, dsT, d2p, 64))
+    timeit("pallas bucket_topk k=1", lambda: knn_bucket_topk(feats, dsT, d2p, 1))
     timeit("xla topk k=1", lambda: RC._topk_oneshot(feats, ds, 1, Tpad))
 
 

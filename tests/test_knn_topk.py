@@ -25,7 +25,7 @@ def test_k1_exact():
     ds = rng.normal(0, 100, (T, 192)).astype(np.float32)
     dsb = jnp.asarray(ds, jnp.bfloat16).astype(jnp.float32)
     d2 = jnp.sum(dsb * dsb, axis=1)
-    idx, err = knn_bucket_topk(jnp.asarray(feats), jnp.asarray(ds), d2, 1)
+    idx, err = knn_bucket_topk(jnp.asarray(feats), jnp.asarray(ds, jnp.bfloat16).T, d2, 1)
     idx = np.asarray(idx)[:, 0]
     # compare against brute force under the SAME bf16 rounding
     d = _exact_rank(np.asarray(jnp.asarray(feats, jnp.bfloat16), np.float64),
@@ -45,7 +45,7 @@ def test_topk_recall_vs_bruteforce():
     ds = rng.normal(0, 50, (T, 192)).astype(np.float32)
     dsb = jnp.asarray(ds, jnp.bfloat16).astype(jnp.float32)
     d2 = jnp.sum(dsb * dsb, axis=1)
-    idx, err = knn_bucket_topk(jnp.asarray(feats), jnp.asarray(ds), d2, k)
+    idx, err = knn_bucket_topk(jnp.asarray(feats), jnp.asarray(ds, jnp.bfloat16).T, d2, k)
     idx = np.asarray(idx)
     err = np.asarray(err)
     # ascending errors
@@ -68,7 +68,7 @@ def test_topk_recall_wide_corpus():
     ds = rng.normal(0, 50, (T, 192)).astype(np.float32)
     dsb = jnp.asarray(ds, jnp.bfloat16).astype(jnp.float32)
     d2 = jnp.sum(dsb * dsb, axis=1)
-    idx, _ = knn_bucket_topk(jnp.asarray(feats), jnp.asarray(ds), d2, k)
+    idx, _ = knn_bucket_topk(jnp.asarray(feats), jnp.asarray(ds, jnp.bfloat16).T, d2, k)
     idx = np.asarray(idx)
     d = _exact_rank(feats, ds)
     want = np.argsort(d, axis=1)[:, :k]

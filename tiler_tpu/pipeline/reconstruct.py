@@ -273,11 +273,13 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
     if pallas_topk:
         from ..kernels.knn_topk import knn_bucket_topk, TB
 
-        # pad to the kernel's bucket width in 16384 steps (bounds both the
-        # compiled size classes and the pad waste; the pow2 padding of the
-        # XLA path wastes up to 2x)
-        Tp = -(-T // 16384) * 16384
+        # pad to the kernel's natural SB*TB=4096 granularity (<=4% waste;
+        # the pow2 padding of the XLA path wastes up to 2x — compile
+        # classes are bounded by the persistent cache). The bf16 transpose
+        # happens ONCE here, outside the frame loop.
+        Tp = -(-T // 4096) * 4096
         dsp = jnp.pad(dsj, ((0, Tp - T), (0, 0)))
+        dsT = dsp.astype(jnp.bfloat16).T
         d2p = jnp.sum(dsp * dsp, axis=1) + jnp.where(
             jnp.arange(Tp) < T, 0.0, 1e30
         )
@@ -287,7 +289,7 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
         if int16:
             feats = jnp.round(feats)
         if pallas_topk:
-            idx, err = knn_bucket_topk(feats, dsp, d2p, kk)
+            idx, err = knn_bucket_topk(feats, dsT, d2p, kk)
         else:
             idx, err = _topk_oneshot(feats, dsj, kk, Tpad)
         if not epu:
@@ -361,14 +363,15 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
     # top-2s can cover the top-kk (below that, the XLA approx_max_k path)
     from ..kernels.knn_topk import TB as _TB
 
-    # default stays on the XLA approx_max_k path: the first kernel cut the
-    # HBM traffic 75x but measured 73ms vs 23ms/frame (VPU-bound bucket
-    # argmin epilogue); opt in with TILER_TPU_TOPK=pallas until the
-    # epilogue is fixed
+    # fused kernel beats approx_max_k at k>1 (19 vs 21 ms/frame at bench
+    # shapes, finer 14-bit ranking mantissa vs bf16, deterministic
+    # low-index tie-break); k=1 keeps the cheaper XLA argmin. Needs a
+    # corpus much wider than kk buckets so bucket top-2s cover the top-kk.
     pallas_topk = (
         jax.default_backend() not in ("cpu",)
+        and kk > 1
         and T >= 2 * kk * _TB
-        and os.environ.get("TILER_TPU_TOPK", "xla") == "pallas"
+        and os.environ.get("TILER_TPU_TOPK", "pallas") == "pallas"
     )
     if epu:
         # NOTE: a global [T, P] norm TABLE indexed per (tile, palette) pair
