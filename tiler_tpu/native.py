@@ -24,8 +24,8 @@ def _build() -> bool:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             "-o", _SO, _SRC],
+            ["g++", "-O3", "-march=native", "-funroll-loops", "-shared",
+             "-fPIC", "-std=c++17", "-o", _SO, _SRC],
             check=True,
             capture_output=True,
         )

@@ -197,11 +197,12 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
     Norm-expansion formulation: argmin over (i, j) of
     |rf|^2 - 2<rf, ft> (the per-cell |ft|^2 is pair-invariant and dropped;
     the true error of the winner is recomputed by _exact_choice_err) with
-    rf = (G_i @ Py_j) * wf. The quadratic term comes from the per-tile
-    triangle-packed table Q (see _tile_quad) dotted with the palette outer
-    products, and quad/cross are FUSED into one [*, ntri*3 + S*3]
-    HIGH-precision matmul — everything is a batched matmul, nothing
-    per-pair larger than [chunk, kk, kp] is materialized."""
+    rf = (G_i @ Py_j) * wf. The quadratic term is the triangle-packed
+    per-tile table Q (see _tile_quad) dotted with the per-PALETTE outer
+    products Rall (precomputed once, gathered per cell) — two accumulating
+    einsums, NO concat (an A=[Qi,C] concat forced ~20ms/frame of XLA
+    layout copies; the err matmul itself is ~3ms), nothing per-pair larger
+    than [chunk, kk, kp] materialized."""
     B, kk = cand_idx.shape
     kp = cand_pal.shape[1]
     w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
@@ -209,6 +210,11 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
     if Q is None:
         Q = _tile_quad(G, S)
     tri_i, tri_j = np.triu_indices(S)
+    # per-palette outer products at triangle indices: [P, 3*ntri] (1.7MB
+    # at P=1024 — building Rj per (cell, candidate) instead cost two
+    # ~5ms/frame layout copies)
+    Pc = pal_yuv.transpose(0, 2, 1)  # [P, 3, S]
+    Rall = (Pc[..., tri_i] * Pc[..., tri_j]).reshape(pal_yuv.shape[0], -1)
     nch = -(-B // cell_chunk)
     Bp = nch * cell_chunk
     featsp = jnp.pad(feats, ((0, Bp - B), (0, 0)))
@@ -225,21 +231,19 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
         C = jnp.einsum("bkvs,bvc->bksc", Gi, ftw.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)  # [b, kk, S, 3]
         Py = pal_yuv[cp]  # [b, kp, S, 3] f32
-        Pc = Py.transpose(0, 1, 3, 2)  # [b, kp, 3, S]
-        Rj = (Pc[..., tri_i] * Pc[..., tri_j]).reshape(cell_chunk, kp, -1)
+        Rj = Rall[cp]  # [b, kp, 3*ntri] f32
         Qi = Q[ci]  # [b, kk, 3*ntri] f32 (triangle-packed, see _tile_quad)
-        # one fused contraction for quad - 2*cross. HIGH (bf16_3x) keeps
-        # ~f32 mantissa in the norm expansion, whose cancellation
-        # (quad ~ 1e7, gaps ~ 1e3) would otherwise lose ranking order;
-        # the matmul FLOPs are negligible next to the gather traffic
-        A = jnp.concatenate(
-            [Qi, -2.0 * C.reshape(cell_chunk, kk, S * 3)], axis=2)
-        Bm = jnp.concatenate(
-            [Rj, Py.reshape(cell_chunk, kp, S * 3)], axis=2)
-        err = jnp.einsum("bkx,bjx->bkj", A, Bm,
+        # HIGH (bf16_3x) keeps ~f32 mantissa in the norm expansion, whose
+        # cancellation (quad ~ 1e7, gaps ~ 1e3) would otherwise lose
+        # ranking order; the matmul FLOPs are negligible next to gathers
+        err = jnp.einsum("bkx,bjx->bkj", Qi, Rj,
                          precision=jax.lax.Precision.HIGH,
-                         preferred_element_type=jnp.float32
-                         ).reshape(cell_chunk, kk * kp)
+                         preferred_element_type=jnp.float32)
+        err = err - 2.0 * jnp.einsum(
+            "bksc,bjsc->bkj", C, Py,
+            precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32)
+        err = err.reshape(cell_chunk, kk * kp)
         best = jnp.argmin(err, axis=1)
         bi, bj = best // kp, best % kp
         return None, (
