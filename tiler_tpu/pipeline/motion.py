@@ -217,12 +217,15 @@ def motion_search(cur_rgb, prev_rgb, radius: int, int16: bool = False,
 
 
 def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False,
-                 rank_dims: int = K):
+                 rank_dims: int = K, return_windows: bool = False):
     """Full-frame motion search of cur against prev.
 
     cur_rgb/prev_rgb: [H, W, 3] float or uint8 (H, W multiples of 8).
     Returns (pred_y, pred_x) int32 [Th, Tw] and err float32 [Th, Tw]
-    (squared weighted-DCT L2 + Manhattan tie penalty, reference :1228-1244).
+    (squared weighted-DCT L2 + Manhattan tie penalty, reference :1228-1244);
+    with return_windows also the winner's window pixels [Th*Tw, 8, 8, 3]
+    f32 (already gathered for the exact error — phase B reuses them as
+    the prediction render instead of a per-pixel patch gather).
 
     rank_dims < 192 ranks candidates on the per-channel low-frequency DCT
     block only (PSNR-HVS weights already concentrate the energy there; the
@@ -358,4 +361,6 @@ def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False,
     diff = T.reshape(-1, K) - Wv
     exact = jnp.sum(diff * diff, axis=-1).reshape(th, tw)
     exact = exact + jnp.abs(best_oy).astype(jnp.float32) + jnp.abs(best_ox).astype(jnp.float32)
+    if return_windows:
+        return best_oy, best_ox, exact, win
     return best_oy, best_ox, exact

@@ -463,7 +463,13 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
 @functools.partial(jax.jit, static_argnames=("int16",))
 def _exact_choice_err(feats, tile, pal, pp, palettes, int16: bool = False):
     """Exact fp32 error of the chosen (tile, palette) per cell."""
-    rgb = palettes[pal[:, None, None], pp[tile]].astype(jnp.float32)
+    n = tile.shape[0]
+    S = palettes.shape[1]
+    palrow = palettes[pal].astype(jnp.float32)  # [n, S, 3]
+    oh = jax.nn.one_hot(pp[tile].reshape(n, 64), S, dtype=jnp.float32)
+    rgb = jnp.einsum("nps,nsc->npc", oh, palrow,
+                     preferred_element_type=jnp.float32
+                     ).reshape(n, 8, 8, 3)
     rf = tile_features_raster(rgb).reshape(-1, K)
     if int16:
         rf = jnp.round(rf)
@@ -519,40 +525,50 @@ def _phase_b_scan(frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start,
         cur = frame.astype(jnp.float32)
         if radius >= 1:
             def do_search(_):
-                oy, ox, e = _motion_core(cur, back, radius, int16, rank_dims)
-                return oy.reshape(N), ox.reshape(N), e.reshape(N)
+                oy, ox, e, win = _motion_core(cur, back, radius, int16,
+                                              rank_dims, return_windows=True)
+                return oy.reshape(N), ox.reshape(N), e.reshape(N), win
 
             def no_search(_):
                 return (
                     jnp.zeros(N, jnp.int32),
                     jnp.zeros(N, jnp.int32),
                     jnp.full(N, jnp.inf, jnp.float32),
+                    jnp.zeros((N, TILE_W, TILE_W, 3), jnp.float32),
                 )
 
-            oy, ox, mperr = jax.lax.cond(kstart, no_search, do_search, None)
+            oy, ox, mperr, win = jax.lax.cond(kstart, no_search, do_search, None)
         else:
             oy = jnp.zeros(N, jnp.int32)
             ox = jnp.zeros(N, jnp.int32)
             mperr = jnp.full(N, jnp.inf, jnp.float32)
+            win = jnp.zeros((N, TILE_W, TILE_W, 3), jnp.float32)
 
         perfect = mperr <= TOL
         knn_wins = (~perfect) & (kerr < mperr - TOL)
         use_pred = ~knn_wins
         cell_err = jnp.where(use_pred, mperr, kerr)
 
-        # render knn choices: palette lookup + cell mirrors
+        # render knn choices: palette row gather + in-row one-hot matmul
+        # (a per-pixel 2-level gather here cost 7.4 ms/frame; the batched
+        # [64,S]x[S,3] matmul runs on the MXU and is exact for u8 values)
         tile_px = pp[ktile]  # [N, 8, 8]
-        rgb = palettes[kpal[:, None, None], tile_px].astype(jnp.float32)  # [N,8,8,3]
+        palrow = palettes[kpal].astype(jnp.float32)  # [N, S, 3]
+        oh = jax.nn.one_hot(tile_px.reshape(N, 64), palettes.shape[1],
+                            dtype=jnp.float32)
+        rgb = jnp.einsum("nps,nsc->npc", oh, palrow,
+                         preferred_element_type=jnp.float32
+                         ).reshape(N, TILE_W, TILE_W, 3)
         rgb = jnp.where(hmf[:, None, None, None], rgb[:, :, ::-1], rgb)
         rgb = jnp.where(vmf[:, None, None, None], rgb[:, ::-1, :], rgb)
 
-        ys = (jnp.arange(th) * TILE_W)[:, None] + oy.reshape(th, tw)
-        xs_ = (jnp.arange(tw) * TILE_W)[None, :] + ox.reshape(th, tw)
-        wy = ys[:, :, None, None] + jnp.arange(TILE_W)[None, None, :, None]
-        wx = xs_[:, :, None, None] + jnp.arange(TILE_W)[None, None, None, :]
-        pred_tiles = back[wy, wx]
+        # predicted cells reuse the motion winner's window pixels (win) —
+        # the same values a back[wy, wx] patch gather would fetch, already
+        # pulled by the exact-error pass inside _motion_core
         chosen = jnp.where(
-            use_pred.reshape(th, tw, 1, 1, 1), pred_tiles, rgb.reshape(th, tw, 8, 8, 3)
+            use_pred.reshape(th, tw, 1, 1, 1),
+            win.reshape(th, tw, TILE_W, TILE_W, 3),
+            rgb.reshape(th, tw, TILE_W, TILE_W, 3),
         )
         front = chosen.transpose(0, 2, 1, 3, 4).reshape(H, W, 3)
         return front, (oy, ox, use_pred, cell_err)
