@@ -18,9 +18,10 @@ TPU-native split:
     (the axon dispatch latency makes per-frame host loops untenable).
 
 EPU parity (:1563-1609): candidates = top-k corpus tiles; the candidate
-palette set = their initial palettes; the cartesian product is evaluated
-with candidates sorted ascending (tile-major, palette-minor) so argmin
-tie-breaking matches the reference's strict-< sorted iteration.
+palette set = their initial palettes; the reference's strict-< iteration
+over candidates sorted tile-major/palette-minor is reproduced by taking,
+among minimal-error pairs, the smallest packed (tile*P + palette) id —
+no device sorts needed (see _epu_rank_all).
 
 Decision parity (:1614-1654): prediction is "perfect" when
 mpErr <= 192 (skip KNN); otherwise KNN wins only when
@@ -244,13 +245,18 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
             precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32)
         err = err.reshape(cell_chunk, kk * kp)
-        best = jnp.argmin(err, axis=1)
-        bi, bj = best // kp, best % kp
-        return None, (
-            jnp.take_along_axis(ci, bi[:, None], 1)[:, 0],
-            jnp.take_along_axis(cp, bj[:, None], 1)[:, 0],
-            jnp.take_along_axis(err, best[:, None], 1)[:, 0],
-        )
+        # reference tie-break (strict < over candidates sorted tile-major,
+        # palette-minor, :1563-1609) == among minimal-err pairs take the
+        # smallest (tile, palette) lexicographically. A packed-id min does
+        # that WITHOUT sorting the candidate lists (the [N, kk] device
+        # sorts cost ~14 ms/frame): tile*P + pal fits int32 up to T=2M.
+        P = pal_yuv.shape[0]
+        combo = (ci[:, :, None] * P + cp[:, None, :]).reshape(
+            cell_chunk, kk * kp)
+        m = jnp.min(err, axis=1)
+        sel = jnp.where(err <= m[:, None], combo, jnp.int32(2**31 - 1))
+        best = jnp.min(sel, axis=1)
+        return None, (best // P, best % P, m)
 
     _, (t, p, e) = jax.lax.scan(body, None, jnp.arange(nch))
     return t.reshape(Bp)[:B], p.reshape(Bp)[:B], e.reshape(Bp)[:B]
@@ -304,8 +310,10 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
                 pal_initial[idx[:, 0]].astype(jnp.float32),
                 exact,
             )
-        cand_idx = jnp.sort(idx, axis=1)
-        cand_pal = jnp.sort(pal_initial[idx[:, :pal_k]], axis=1)
+        # err-ascending order is fine: the reference's sorted-candidate
+        # tie-break is reproduced inside _epu_rank_all by a packed-id min
+        cand_idx = idx
+        cand_pal = pal_initial[idx[:, :pal_k]]
         t, p, _ = _epu_rank_all(
             feats, cand_idx, cand_pal, G, pal_yuv, S,
             cell_chunk=cell_chunk, Q=Q,
@@ -441,8 +449,8 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
             exact = jnp.sum(d * d, axis=1)
             dev_outs.append((idx[:, 0], pal_initial[idx[:, 0]], exact))
         else:
-            cand_idx = jnp.sort(idx, axis=1)
-            cand_pal = jnp.sort(pal_initial[idx[:, :pal_k]], axis=1)
+            cand_idx = idx  # tie-break handled in _epu_rank_all
+            cand_pal = pal_initial[idx[:, :pal_k]]
             t, p, _ = _epu_rank_all(
                 feats, cand_idx, cand_pal, G, pal_yuv,
                 settings.palette_size, cell_chunk=cell_chunk, Q=Q,
