@@ -92,36 +92,41 @@ def palettization(state: EncodeState, settings: EncoderSettings,
 
 @functools.partial(jax.jit, static_argnames=("P", "cap"))
 def _sample_member_pixels(corpus_rgb, pal_initial, P: int, cap: int, key):
-    """Per-palette uniform sample (without replacement) of member RGB
-    pixels, on device. Returns (cols [P,cap,3] f32, wts [P,cap] f32,
-    npix [P] i32).
+    """Per-palette uniform sample (without replacement) of member TILES,
+    expanded to their pixels, on device. Returns (cols [P,cap,3] f32,
+    wts [P,cap] f32, npix [P] i32 = true member-pixel count).
 
-    The reference feeds EVERY member pixel to yakmo (:4458-4481); sampling
-    up to `cap` pixels per palette bounds the vmapped k-means shape with
-    negligible quality impact at cap>=2048.
+    The reference feeds EVERY member pixel to yakmo (:4458-4481); capping
+    the vmapped k-means input bounds its shape. Sampling whole tiles
+    instead of independent pixels sorts T keys instead of 64*T (the
+    pixel-level argsort cost 123 ms/encode at T=115k; this is ~8 ms) —
+    palettes with <= cap/64 member tiles still contribute every pixel.
     """
     T = corpus_rgb.shape[0]
-    M = T * 64
-    pix = corpus_rgb.reshape(M, 3).astype(jnp.float32)
-    pal = jnp.repeat(pal_initial.astype(jnp.int32), 64)
-    # one combined-key argsort instead of a two-pass lexsort (TPU sorts
-    # are O(log^2) passes over the 64*T keys — halving the passes halves
-    # the dominant cost of this sampler): palette id in the high bits,
-    # random tie-break bits below (P <= 2^11, so 11 + 20 bits < 31)
+    ctiles = cap // 64  # member tiles sampled per palette
+    pix = corpus_rgb.reshape(T, 64, 3).astype(jnp.float32)
+    pal = pal_initial.astype(jnp.int32)
+    # one combined-key argsort instead of a two-pass lexsort: palette id
+    # in the high bits, random tie-break bits below (P <= 2^11)
     if (P + 1) * (1 << 20) + (1 << 20) < 2**31:
-        r20 = jax.random.randint(key, (M,), 0, 1 << 20, dtype=jnp.int32)
+        r20 = jax.random.randint(key, (T,), 0, 1 << 20, dtype=jnp.int32)
         order = jnp.argsort(pal * (1 << 20) + r20)
     else:  # huge palette counts: keep the exact two-key sort
-        r = jax.random.uniform(key, (M,))
+        r = jax.random.uniform(key, (T,))
         order = jnp.lexsort((r, pal))
     spal = pal[order]
     starts = jnp.searchsorted(spal, jnp.arange(P, dtype=jnp.int32))
     ends = jnp.searchsorted(spal, jnp.arange(P, dtype=jnp.int32), side="right")
-    npix = (ends - starts).astype(jnp.int32)
-    idx = starts[:, None] + jnp.arange(cap)[None, :]
-    valid = jnp.arange(cap)[None, :] < jnp.minimum(npix, cap)[:, None]
-    cols = pix[order[jnp.clip(idx, 0, M - 1)]]
-    return cols, valid.astype(jnp.float32), npix
+    ntiles = (ends - starts).astype(jnp.int32)
+    idx = starts[:, None] + jnp.arange(ctiles)[None, :]
+    tvalid = jnp.arange(ctiles)[None, :] < jnp.minimum(ntiles, ctiles)[:, None]
+    cols = pix[order[jnp.clip(idx, 0, T - 1)]]  # [P, ctiles, 64, 3]
+    cols = cols.reshape(P, ctiles * 64, 3)
+    valid = jnp.repeat(tvalid, 64, axis=1)
+    if ctiles * 64 < cap:
+        cols = jnp.pad(cols, ((0, 0), (0, cap - ctiles * 64), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, cap - ctiles * 64)))
+    return cols, valid.astype(jnp.float32), ntiles * 64
 
 
 def quantization(state: EncodeState, settings: EncoderSettings,
