@@ -164,10 +164,15 @@ def test_int16_features_and_predicted_tileset_modes(tmp_path):
         out = str(tmp_path / f"m{len(kw)}{list(kw)[0] if kw else 'x'}.gtm")
         e = Encoder(s, log=lambda *a: None).run_all(clip, fps=24.0, out_path=out)
         assert len(GTMDecoder(out).decode_frames()) == 5
-        return e.stats.total_bytes
+        return e.stats.total_bytes, len(e.state.corpus_pal_pixels)
 
-    base_bytes = enc(seed=0x42381337)
-    int16_bytes = enc(int16_features=True)
-    parity_bytes = enc(count_predicted_tiles=True)
-    assert parity_bytes >= base_bytes  # never-emitted tiles only add bytes
+    base_bytes, base_tiles = enc(seed=0x42381337)
+    int16_bytes, _ = enc(int16_features=True)
+    parity_bytes, parity_tiles = enc(count_predicted_tiles=True)
+    # the strict invariant: counting never-emitted (predicted) cells'
+    # tiles can only ADD tiles to the TileSet. Byte size is only
+    # statistically larger (use counts change the reindex sort order,
+    # which can shift LZMA output by a few bytes either way).
+    assert parity_tiles >= base_tiles
+    assert parity_bytes >= base_bytes - 64
     assert abs(int16_bytes - base_bytes) < 0.2 * base_bytes
