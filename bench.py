@@ -80,9 +80,9 @@ def main():
     enc.run_all(clip, fps=25.0, out_path=out)
     log(f"warmup encode: {time.time()-t0:.1f}s")
 
-    # timed steady-state (best of 2: the tunnel adds ~±20% run variance)
+    # timed steady-state (best of 3: the tunnel adds ~±20% run variance)
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         enc = Encoder(settings, log=lambda *a: None)
         enc.run_all(clip, fps=25.0, out_path=out)

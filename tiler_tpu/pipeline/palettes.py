@@ -73,20 +73,19 @@ def palettization(state: EncodeState, settings: EncoderSettings,
             cents, P, iters=settings.kmeans_iters,
             seed=settings.seed + 1, init="kpp",
         )
-        pal_of_c1 = np.asarray(assign2)
+        pal_of_c1 = assign2.astype(jnp.int32)
     elif k1 > P:  # P == 1
-        pal_of_c1 = np.zeros(k1, np.int64)
+        pal_of_c1 = jnp.zeros(k1, jnp.int32)
     else:
-        pal_of_c1 = np.arange(k1)
+        pal_of_c1 = jnp.arange(k1, dtype=jnp.int32)
 
-    pal_initial = pal_of_c1[np.asarray(assign1)]  # [T] (d2h: 4 bytes/tile)
-
-    # sort palettes by (per-tile) use count desc (:4223-4244)
-    use = np.bincount(pal_initial, minlength=P)
-    order = np.argsort(-use, kind="stable")
-    lut = np.empty(P, np.int64)
-    lut[order] = np.arange(P)
-    state.corpus_pal_initial = lut[pal_initial].astype(np.int32)
+    # use-count sort (:4223-4244) on device: each host<->device crossing
+    # costs ~30-50 ms through the tunnel, so the whole chain pulls ONCE
+    pal_initial = pal_of_c1[assign1]  # [T] device
+    use = jnp.bincount(pal_initial, length=P)
+    order = jnp.argsort(-use, stable=True)
+    lut = jnp.zeros(P, jnp.int32).at[order].set(jnp.arange(P, dtype=jnp.int32))
+    state.corpus_pal_initial = np.asarray(lut[pal_initial])  # one d2h
     return state
 
 
@@ -145,9 +144,9 @@ def quantization(state: EncodeState, settings: EncoderSettings,
         corpus = jnp.pad(corpus, ((0, Tpad - T), (0, 0), (0, 0), (0, 0)))
         pidx = jnp.pad(pidx, (0, Tpad - T), constant_values=P)
     cols, wts, npix_d = _sample_member_pixels(corpus, pidx, P, color_cap, key)
-    npix = np.asarray(npix_d).astype(np.int64)
 
     if settings.color_quantizer == "mediancut":
+        npix = np.asarray(npix_d).astype(np.int64)
         # dlquant DL1/DL3 role (extern.pas:195-196): deterministic
         # median-cut boxes instead of per-palette k-means
         from ..cluster.mediancut import median_cut
@@ -161,12 +160,23 @@ def quantization(state: EncodeState, settings: EncoderSettings,
             ]
         ).astype(np.float64)
     else:
-        def one(colors, weights, seed):
-            c, _, _ = _kmeans_small(colors, weights, S, settings.kmeans_iters, seed)
-            return c
+        def packed(colors, weights, seeds, npix_d):
+            def one(colors, weights, seed):
+                c, _, _ = _kmeans_small(colors, weights, S,
+                                        settings.kmeans_iters, seed)
+                return c
+
+            c = jax.vmap(one)(colors, weights, seeds)  # [P, S, 3]
+            # one packed d2h: centroids + member-pixel counts
+            return jnp.concatenate(
+                [c.reshape(P, S * 3), npix_d[:, None].astype(jnp.float32)],
+                axis=1,
+            )
 
         seeds = jnp.arange(P) + settings.seed
-        cents = np.asarray(jax.jit(jax.vmap(one))(cols, wts, seeds))  # [P, S, 3]
+        out = np.asarray(jax.jit(packed)(cols, wts, seeds, npix_d))
+        cents = out[:, : S * 3].reshape(P, S, 3)
+        npix = out[:, S * 3].astype(np.int64)
 
     rgb = np.clip(np.round(np.nan_to_num(cents)), 0, 255).astype(np.int64)
     rgb = posterize(rgb, 255)  # identity at 8bpc (cBitsPerComp, :4552)
@@ -296,11 +306,23 @@ def optimize_palettes(state: EncodeState, settings: EncoderSettings,
     (:4394-4421). Runs fully on device as a nested lax.while_loop; palette
     bytes are exact in fp32, so the swaps are value-preserving."""
     S = settings.palette_size
-    pal = jnp.asarray(state.palettes_rgb, jnp.float32)  # [P, S, 3]
-    valid = jnp.asarray(state.palettes_valid)
-    pal, valid = _optimize_palettes_dev(pal, valid, S, max_rounds, S * S)
-    state.palettes_rgb = np.asarray(pal).astype(np.uint8)
-    state.palettes_valid = np.asarray(valid)
+    # one packed h2d and one packed d2h (4 small crossings cost ~0.15s
+    # of tunnel latency)
+    packed_in = np.concatenate(
+        [state.palettes_rgb.astype(np.float32),
+         state.palettes_valid.astype(np.float32)[..., None]], axis=2,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("S", "max_rounds"))
+    def run(packed, S, max_rounds):
+        pal, valid = _optimize_palettes_dev(
+            packed[..., :3], packed[..., 3] != 0.0, S, max_rounds, S * S)
+        return jnp.concatenate([pal, valid[..., None].astype(jnp.float32)],
+                               axis=2)
+
+    out = np.asarray(run(jnp.asarray(packed_in), S, max_rounds))
+    state.palettes_rgb = out[..., :3].astype(np.uint8)
+    state.palettes_valid = out[..., 3] != 0.0
     return state
 
 
