@@ -125,5 +125,63 @@ def main():
     )
 
 
+def _supervised():
+    """Run the bench in a child process with stall detection.
+
+    The axon tunnel occasionally drops a client mid-operation (the
+    remote restarts); the client then futex-waits forever. A wedged
+    child shows no new stderr output AND ~no CPU for minutes — kill and
+    retry (fresh clients reconnect fine once the remote is back)."""
+    import signal
+    import subprocess
+
+    for attempt in range(3):
+        env = dict(os.environ, TILER_BENCH_CHILD="1")
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=sys.stderr, env=env,
+        )
+        t0 = time.time()
+        last_cpu = 0.0
+        last_progress = time.time()
+        wedged = False
+        while p.poll() is None:
+            time.sleep(15)
+            if time.time() - t0 > 2400:
+                wedged = True
+                break
+            try:
+                with open(f"/proc/{p.pid}/stat") as f:
+                    parts = f.read().split()
+                cpu = int(parts[13]) + int(parts[14])
+            except OSError:
+                break
+            if cpu != last_cpu:
+                last_cpu = cpu
+                last_progress = time.time()
+            elif time.time() - last_progress > 240:
+                wedged = True
+                break
+        if wedged:
+            log(f"bench child stalled (attempt {attempt + 1}); restarting")
+            try:
+                p.send_signal(signal.SIGKILL)
+                p.wait(timeout=30)
+            except Exception:
+                pass
+            time.sleep(10)
+            continue
+        out = p.stdout.read().decode()
+        if p.returncode == 0 and out.strip():
+            sys.stdout.write(out)
+            return 0
+        log(f"bench child exit rc={p.returncode}; retrying")
+        time.sleep(10)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("TILER_BENCH_CHILD"):
+        main()
+    else:
+        raise SystemExit(_supervised())
