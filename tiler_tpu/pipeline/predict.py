@@ -33,18 +33,16 @@ def _frame_chunk(H: int, W: int, budget_bytes: float = 2e10) -> int:
 
 @functools.partial(jax.jit, static_argnames=("radius", "int16", "rank_dims"))
 def _motion_packed(cur, prev, radius: int, int16: bool, rank_dims: int):
-    """motion_search_batch + PSNR, packed into ONE f32 array so the host
-    pulls a single transfer (each d2h costs a tunnel round-trip)."""
+    """motion_search_batch + PSNR, packed into ONE i32 array so the host
+    pulls a single minimal transfer (each d2h costs a tunnel round-trip
+    and bad tunnel windows move bytes at ~25 MB/s): offsets fit 16 bits
+    each in word 0; word 1 is the PSNR's f32 bits."""
     oy, ox, err = motion_search_batch(cur, prev, radius, int16, rank_dims)
     B = oy.shape[0]
-    return jnp.stack(
-        [
-            oy.reshape(B, -1).astype(jnp.float32),
-            ox.reshape(B, -1).astype(jnp.float32),
-            euclidean_to_psnr(err).reshape(B, -1),
-        ],
-        axis=0,
-    )  # [3, B, N]
+    offs = ((oy.reshape(B, -1) + 32768) << 16) | (ox.reshape(B, -1) + 32768)
+    psnr_bits = jax.lax.bitcast_convert_type(
+        euclidean_to_psnr(err).reshape(B, -1), jnp.int32)
+    return jnp.stack([offs, psnr_bits], axis=0)  # [2, B, N] i32
 
 
 def predict_motion(state: EncodeState, settings: EncoderSettings,
@@ -68,9 +66,9 @@ def predict_motion(state: EncodeState, settings: EncoderSettings,
             settings.int16_features, settings.motion_rank_dims,
         ))
     packed = np.asarray(outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1))
-    tm.pred_y[:] = packed[0].astype(np.int16)
-    tm.pred_x[:] = packed[1].astype(np.int16)
-    tm.psnr[:] = packed[2]
+    tm.pred_y[:] = ((packed[0] >> 16) & 0xFFFF).astype(np.int32) - 32768
+    tm.pred_x[:] = (packed[0] & 0xFFFF).astype(np.int32) - 32768
+    tm.psnr[:] = packed[1].view(np.float32)
     return state
 
 

@@ -305,24 +305,26 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
         if not epu:
             d = feats - dsj[idx[:, 0]]
             exact = jnp.sum(d * d, axis=1)
-            return (
-                idx[:, 0].astype(jnp.float32),
-                pal_initial[idx[:, 0]].astype(jnp.float32),
-                exact,
+            t, p = idx[:, 0], pal_initial[idx[:, 0]]
+        else:
+            # err-ascending order is fine: the reference's sorted-candidate
+            # tie-break is reproduced inside _epu_rank_all by a packed-id
+            # min
+            cand_idx = idx
+            cand_pal = pal_initial[idx[:, :pal_k]]
+            t, p, _ = _epu_rank_all(
+                feats, cand_idx, cand_pal, G, pal_yuv, S,
+                cell_chunk=cell_chunk, Q=Q,
             )
-        # err-ascending order is fine: the reference's sorted-candidate
-        # tie-break is reproduced inside _epu_rank_all by a packed-id min
-        cand_idx = idx
-        cand_pal = pal_initial[idx[:, :pal_k]]
-        t, p, _ = _epu_rank_all(
-            feats, cand_idx, cand_pal, G, pal_yuv, S,
-            cell_chunk=cell_chunk, Q=Q,
-        )
-        e = _exact_choice_err(feats, t, p, pp, palettes, int16=int16)
-        return t.astype(jnp.float32), p.astype(jnp.float32), e
+            exact = _exact_choice_err(feats, t, p, pp, palettes, int16=int16)
+        # pack (tile, pal) into one word + err bits: [2, N] i32 halves the
+        # d2h (tile*P < 2^31 guaranteed by the int32 packed-id tie-break)
+        pbits = max(1, (palettes.shape[0] - 1).bit_length())
+        w0 = (t.astype(jnp.int32) << pbits) | p.astype(jnp.int32)
+        return w0, jax.lax.bitcast_convert_type(exact, jnp.int32)
 
-    t, p, e = jax.lax.map(per_frame, tiles)
-    return jnp.stack([t, p, e], axis=0)
+    w0, w1 = jax.lax.map(per_frame, tiles)
+    return jnp.stack([w0, w1], axis=0)
 
 
 def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
@@ -421,10 +423,11 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
             ))
             outs.append(packed[:, :g])
         packed = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)
+        pbits = max(1, (settings.palette_count - 1).bit_length())
         return (
-            packed[0].astype(np.int32),
-            packed[1].astype(np.int32),
-            packed[2].astype(np.float32),
+            (packed[0] >> pbits).astype(np.int32),
+            (packed[0] & ((1 << pbits) - 1)).astype(np.int32),
+            packed[1].view(np.float32),
         )
 
     # mesh path: corpus-sharded top-k per frame group (collectives per
@@ -487,14 +490,16 @@ def _exact_choice_err(feats, tile, pal, pp, palettes, int16: bool = False):
 
 @jax.jit
 def _pack_phase_b(oy, ox, use_pred, cell_err):
-    """[Lp, N] x4 -> one [4, Lp, N] f32 (single d2h; offsets are < 2^24 so
-    f32 is exact; err goes out as PSNR directly)."""
-    return jnp.stack([
-        oy.astype(jnp.float32),
-        ox.astype(jnp.float32),
-        use_pred.astype(jnp.float32),
-        euclidean_to_psnr(cell_err),
-    ])
+    """[Lp, N] x4 -> one [2, Lp, N] i32 (single minimal d2h; bad tunnel
+    windows move bytes at ~25 MB/s). Word 0: (oy+16384)<<16 | use<<15 |
+    (ox+16384) — covers any radius < 16384; word 1: PSNR f32 bits."""
+    w0 = (
+        ((oy.astype(jnp.int32) + 16384) << 16)
+        | (use_pred.astype(jnp.int32) << 15)
+        | (ox.astype(jnp.int32) + 16384)
+    )
+    w1 = jax.lax.bitcast_convert_type(euclidean_to_psnr(cell_err), jnp.int32)
+    return jnp.stack([w0, w1])
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "th", "tw", "int16",
@@ -659,15 +664,16 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
             )
             # one packed d2h per batch (each transfer pays tunnel latency);
             # psnr is computed on device in the same pass
-            packed = np.asarray(jax.vmap(_pack_phase_b)(*res))  # [Gp, 4, Lp, N]
+            packed = np.asarray(jax.vmap(_pack_phase_b)(*res))  # [Gp, 2, Lp, N]
             for g, kf in enumerate(batch):
                 L = kf.end_frame + 1 - kf.start_frame
                 results[kf.index] = packed[g, :, :L]
     pulled = [results[kf.index] for kf in state.keyframes]
-    oy = np.concatenate([p[0] for p in pulled], axis=0).astype(np.int32)
-    ox = np.concatenate([p[1] for p in pulled], axis=0).astype(np.int32)
-    use_pred = np.concatenate([p[2] for p in pulled], axis=0) != 0.0
-    psnr = np.concatenate([p[3] for p in pulled], axis=0)
+    w0 = np.concatenate([p[0] for p in pulled], axis=0)
+    oy = (w0 >> 16).astype(np.int32) - 16384
+    ox = (w0 & 0x7FFF).astype(np.int32) - 16384
+    use_pred = ((w0 >> 15) & 1) != 0
+    psnr = np.concatenate([p[1] for p in pulled], axis=0).view(np.float32)
 
     tm.predicted = use_pred
     tm.pred_y = oy.astype(np.int16)
