@@ -275,7 +275,9 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
     transient) — one dispatch + one packed d2h instead of per-frame round
     trips through the tunnel (~30-40 ms each).
 
-    tiles [F, N, 8, 8, 3] uint8. Returns [3, F, N] f32 (tile, pal, err)."""
+    tiles [F, N, 8, 8, 3] uint8. Returns [2, F, N] i32: word 0 packs
+    (tile << ceil(log2 P)) | pal, word 1 is the exact error's f32 bits
+    (one minimal d2h)."""
     T = dsj.shape[0]
     Tpad = 256
     while Tpad < T:
