@@ -39,7 +39,7 @@ def _trunc_div(a, b: int):
 
 
 def _make_kernel(S: int):
-    def kern(pal_ids_ref, pix_ref, pal_ref, sel_ref, lists_scr, lums_scr):
+    def kern(pal_ids_ref, pix_ref, pal_ref, sel_ref, lists_scr, keys_scr):
         pid = pl.program_id(0)
         pal = pal_ids_ref[pid]
 
@@ -82,28 +82,34 @@ def _make_kernel(S: int):
                 best_lum = jnp.where(upd, CL[s], best_lum)
 
             lists_scr[c] = best_idx
-            lums_scr[c] = best_lum
+            # stable-sort key: luma in the high bits, step index below
+            # (lumas are palette lumas <= 255000, so key < 2^24 and all
+            # 64 keys are DISTINCT — ties resolve by step order exactly
+            # like the reference's stable luma sort)
+            keys_scr[c] = best_lum * STEPS + c
             return sr - best_r + er, sg - best_g + eg, sb - best_b + eb
 
         zero = jnp.zeros_like(sr)
         jax.lax.fori_loop(0, STEPS, step, (zero, zero, zero), unroll=False)
 
         # in-kernel luma-rank selection: the map_value-th entry of the
-        # stable luma sort = entry whose (strictly-less count + equal-with-
-        # lower-index count) equals map_value.
-        all_lums = lums_scr[:, :, :]  # [64, 8, 128]
+        # stable luma sort == the key of rank map_value. Binary search on
+        # the 24-bit key value (24 x 64 compare+add) replaces the O(64^2)
+        # pairwise rank count — greedily grow the largest lo with
+        # count(keys < lo) <= map_value; distinct keys make that lo the
+        # rank-map_value key itself.
+        def bit_step(b, lo):
+            mid = lo + jnp.left_shift(1, 23 - b)
+            cnt = jnp.zeros_like(sr)
+            for c in range(STEPS):
+                cnt = cnt + (keys_scr[c] < mid).astype(jnp.int32)
+            return jnp.where(cnt <= mapv, mid, lo)
 
-        def pick(i, sel):
-            lum_i = lums_scr[i]
-            less = jnp.sum((all_lums < lum_i[None]).astype(jnp.int32), axis=0)
-            row = jax.lax.broadcasted_iota(jnp.int32, (STEPS, 1, 1), 0)
-            eq_before = jnp.sum(
-                ((all_lums == lum_i[None]) & (row < i)).astype(jnp.int32), axis=0
-            )
-            rank = less + eq_before
-            return jnp.where(rank == mapv, lists_scr[i], sel)
+        lo = jax.lax.fori_loop(0, 24, bit_step, jnp.zeros_like(sr))
 
-        sel = jax.lax.fori_loop(0, STEPS, pick, jnp.zeros_like(sr))
+        sel = jnp.zeros_like(sr)
+        for c in range(STEPS):
+            sel = jnp.where(keys_scr[c] == lo, lists_scr[c], sel)
         sel_ref[0] = sel
 
     return kern
