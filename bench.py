@@ -134,6 +134,7 @@ def _supervised():
     retry (fresh clients reconnect fine once the remote is back)."""
     import signal
     import subprocess
+    import threading
 
     for attempt in range(3):
         env = dict(os.environ, TILER_BENCH_CHILD="1")
@@ -141,6 +142,14 @@ def _supervised():
             [sys.executable, os.path.abspath(__file__)],
             stdout=subprocess.PIPE, stderr=sys.stderr, env=env,
         )
+        # drain stdout concurrently: a child writing more than the ~64KB
+        # pipe buffer would otherwise block on write with no CPU activity
+        # and be misdiagnosed as wedged
+        chunks = []
+        drain = threading.Thread(
+            target=lambda: chunks.append(p.stdout.read()), daemon=True
+        )
+        drain.start()
         t0 = time.time()
         last_cpu = 0.0
         last_progress = time.time()
@@ -171,7 +180,8 @@ def _supervised():
                 pass
             time.sleep(10)
             continue
-        out = p.stdout.read().decode()
+        drain.join(timeout=30)
+        out = (chunks[0] if chunks else b"").decode()
         if p.returncode == 0 and out.strip():
             sys.stdout.write(out)
             return 0

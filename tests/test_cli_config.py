@@ -176,3 +176,24 @@ def test_int16_features_and_predicted_tileset_modes(tmp_path):
     assert parity_tiles >= base_tiles
     assert parity_bytes >= base_bytes - 64
     assert abs(int16_bytes - base_bytes) < 0.2 * base_bytes
+
+
+def test_cli_mesh_auto_single_device_is_noop(monkeypatch):
+    """--mesh auto must be a harmless no-op when only one device is
+    visible (VERDICT r2 #7): the Encoder then runs the meshless path."""
+    import jax
+
+    from tiler_tpu.pipeline.encoder import Encoder
+
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    enc = Encoder(mesh="auto", log=lambda *a: None)
+    assert enc.mesh is None
+
+
+def test_cli_mesh_auto_multi_device_builds_mesh():
+    """On the 8-device CPU mesh, --mesh auto wires a real Mesh with the
+    corpus axis used by the sharded KNN/kmeans paths."""
+    from tiler_tpu.pipeline.encoder import Encoder
+
+    enc = Encoder(mesh="auto", log=lambda *a: None)
+    assert enc.mesh is not None and "corpus" in enc.mesh.axis_names

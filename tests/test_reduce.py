@@ -68,3 +68,24 @@ def test_tile_budget_quantile():
     reduce_tiles(st, s)
     # hits the requested budget exactly (unique random tiles -> no merges)
     assert len(st.corpus_rgb) == 6
+
+
+def test_tie_block_takes_closer_count():
+    """A tie block of equal eff values spanning the target must resolve to
+    the NEARER of the two achievable step counts (reference closest-count
+    objective, utils.pas:1044-1072) — not silently swallow the whole block
+    (round-2 regression: 1.93x corpus overshoot on the bench clip)."""
+    st = _state(F=8, th=2, tw=2)  # 32 cells, all-unique random tiles
+    # eff values: 4 distinct low values, then a 28-cell tie at 30.0
+    psnr = np.full((8, 4), 30.0)
+    psnr.reshape(-1)[:4] = [5.0, 6.0, 7.0, 8.0]
+    st.tilemap.psnr[:] = psnr
+    st.keyframes = []  # no kf-start /10 rule in this test
+    # target 6: achievable counts are 4 (below tie) or 32 (tie end) -> 4 wins
+    s = EncoderSettings(global_tiling_tile_count=6)
+    reduce_tiles(st, s)
+    assert len(st.corpus_rgb) == 4
+    # target 20: |4-20|=16 vs |32-20|=12 -> tie end wins
+    s = EncoderSettings(global_tiling_tile_count=20)
+    reduce_tiles(st, s)
+    assert len(st.corpus_rgb) == 32

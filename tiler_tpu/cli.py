@@ -44,11 +44,14 @@ def cmd_encode(args):
             frame_count=args.frames,
         ),
     )
+    mesh = "auto" if args.mesh == "auto" else None
     if args.resume:
         enc = Encoder.load_checkpoint(args.resume)
         enc.settings = settings if args.settings else enc.settings
+        if mesh:
+            enc.mesh = Encoder(settings, mesh=mesh).mesh
     else:
-        enc = Encoder(settings)
+        enc = Encoder(settings, mesh=mesh)
 
     # step-range execution (GUI start/end step combos, main.pas:406-443)
     if args.steps:
@@ -174,6 +177,9 @@ def main(argv=None):
     e.add_argument("--export-y4m")
     e.add_argument("--export-input-y4m")  # GenerateY4M(AInput=True) parity
     e.add_argument("--export-pngs")
+    e.add_argument("--mesh", choices=("none", "auto"), default="none",
+                   help="auto: shard the corpus/data axes over all visible "
+                        "devices (jax.sharding.Mesh); no-op on 1 device")
     e.add_argument("--steps", help="contiguous step range, e.g. load:reduce")
     e.add_argument("--checkpoint", help="write encoder state after the run")
     e.add_argument("--resume", help="resume from a checkpoint file")

@@ -177,21 +177,30 @@ def load_ffmpeg(path: str, start_frame: int = 0, frame_count: Optional[int] = No
     W = H = 0
     fps = 24.0
     nb_frames = 0
+    cfr = False
     if ffprobe:
         out = subprocess.run(
             [ffprobe, "-v", "quiet", "-select_streams", "v:0", "-show_entries",
-             "stream=width,height,r_frame_rate,nb_frames,duration", "-of",
-             "csv=p=0", path],
+             "stream=width,height,r_frame_rate,avg_frame_rate,nb_frames,duration",
+             "-of", "csv=p=0", path],
             capture_output=True, text=True, check=True,
         ).stdout.strip().split(",")
         W, H = int(out[0]), int(out[1])
         n, d = out[2].split("/")
         fps = float(n) / float(d)
-        if len(out) > 3 and out[3].isdigit():
-            nb_frames = int(out[3])
-        elif len(out) > 4:
+        # constant frame rate <=> r_frame_rate == avg_frame_rate; VFR (or
+        # telecined streams reporting 2x r_frame_rate) must NOT time-seek —
+        # the pipe would silently start at the wrong frame
+        try:
+            an, ad = out[3].split("/")
+            cfr = float(ad) != 0.0 and abs(fps - float(an) / float(ad)) < 1e-9
+        except (ValueError, IndexError):
+            cfr = False
+        if len(out) > 4 and out[4].isdigit():
+            nb_frames = int(out[4])
+        elif len(out) > 5:
             try:
-                nb_frames = int(float(out[4]) * fps) + 2
+                nb_frames = int(float(out[5]) * fps) + 2
             except ValueError:
                 pass
     vf = []
@@ -203,11 +212,12 @@ def load_ffmpeg(path: str, start_frame: int = 0, frame_count: Optional[int] = No
     # accurate-seek discards up to the target inside ffmpeg — no decoded
     # frames cross the pipe just to be thrown away. Seeking to the
     # mid-point of frame N-1 makes frame N the first emitted regardless of
-    # rational-fps rounding. Without ffprobe fps, fall back to
-    # decode-and-discard.
+    # rational-fps rounding. ONLY valid for CFR streams (probed
+    # r_frame_rate == avg_frame_rate); VFR/telecined content falls back
+    # to decode-and-discard, which counts real frames off the pipe.
     seek = []
     idx = 0
-    if start_frame > 0 and ffprobe and fps > 0:
+    if start_frame > 0 and cfr and fps > 0:
         seek = ["-ss", f"{max(0.0, (start_frame - 0.5) / fps):.6f}"]
         idx = start_frame
     cmd = [ffmpeg, "-v", "quiet", *seek, "-i", path, *vf,

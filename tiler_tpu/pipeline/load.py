@@ -87,7 +87,13 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
     # the chain stays exact across chunk boundaries
     corr = np.ones(F, np.float32)
     if device_resident:
-        chunk = F  # one dispatch, one packed pull
+        # one dispatch when the fp32 transients fit: _load_chunk stages
+        # ~6 frame-sized fp32 arrays (tf/lab/canon + fusion slack), so an
+        # unbounded chunk near the 8e9 frame budget could blow HBM —
+        # bound the transients to ~2 GB and let the packed per-chunk pull
+        # amortize the tunnel latency beyond that
+        per_frame_transient = frames_rgb.shape[1] * frames_rgb.shape[2] * 3 * 4 * 6
+        chunk = max(1, min(F, int(2e9 / per_frame_transient)))
     for i in range(0, F, chunk):
         lo = max(0, i - 1)  # 1-frame overlap for the correlation chain
         tc, packed, c = _load_chunk(jnp.asarray(state.frames_rgb[lo : i + chunk]))

@@ -25,7 +25,6 @@ well under the quantization noise, selection may differ on near-ties.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -197,6 +196,24 @@ def tile_features_raster(tiles_rgb):
     return (z * w).reshape(*lead, K)
 
 
+def make_penalty(radius: int, P: int) -> np.ndarray:
+    """pen[s=(sy,sx), q=(qy,qx)] = |oy| + |ox| with +inf outside the
+    [-R, R-1] search square (reference tilingencoder.pas:1209-1214,
+    :1232-1235). NQ = 2*P/8 block offsets per axis."""
+    NQ = 2 * (P // TILE_W)
+    s = np.arange(TILE_W)
+    q = np.arange(NQ) * TILE_W - P
+    o = q[:, None] + s[None, :]  # oy[qy, sy]
+    val = (o >= -radius) & (o <= radius - 1)
+    pen1 = np.where(val, np.abs(o).astype(np.float32), np.inf)  # [qy, sy]
+    pen = (
+        pen1[:, None, :, None] + pen1[None, :, None, :]
+    )  # [qy, qx, sy, sx]
+    return (
+        pen.transpose(2, 3, 0, 1).reshape(64, NQ * NQ).astype(np.float32)
+    )  # [s, q]
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "int16", "rank_dims"))
 def motion_search_batch(cur_rgb, prev_rgb, radius: int, int16: bool = False,
                         rank_dims: int = K):
@@ -264,8 +281,6 @@ def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False,
     mh = -(-(H - 7 + 2 * P) // TILE_W)
     mw = -(-(W - 7 + 2 * P) // TILE_W)
     NQ = 2 * Q
-    from ..kernels.motion_rank import make_penalty, motion_rank
-
     pen_np = make_penalty(R, P)  # [64(s), NQ^2(q)] +inf masked
     Tb = Tc.astype(jnp.bfloat16)
     tpad = jnp.pad(Tb, ((NQ - 1, mh - th), (NQ - 1, mw - tw), (0, 0)))
@@ -274,71 +289,53 @@ def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False,
     # bf16: ranking only (the winner's error is recomputed exactly below)
     Fblk_mn, N2blk_mn = _window_field_blocks(prev_rgb, mu, P, mh, mw, KR)
 
-    if os.environ.get("TILER_TPU_MOTION") == "pallas" and jax.default_backend() != "cpu":
-        # fused Pallas rank kernel (kernels/motion_rank.py). Correct but
-        # VPU-bound: Mosaic cannot lower this contraction's batched matmul
-        # (batch dims must share positions and the per-position rhs layout
-        # is unbuildable in VMEM), so the XLA hybrid below — whose einsum
-        # DOES hit the MXU — is the default.
-        Fblk = Fblk_mn.transpose(0, 2, 3, 1)  # [mh, 64, KR, mw]
-        N2blk = N2blk_mn.transpose(0, 2, 1)  # [mh, 64, mw]
-        minv, args = motion_rank(Fblk, tpad.transpose(0, 2, 1), N2blk,
-                                 jnp.asarray(pen_np))
-        best = jnp.full((th, tw), jnp.inf, jnp.float32)
-        bestq = jnp.zeros((th, tw), jnp.int32)
-        bests = jnp.zeros((th, tw), jnp.int32)
-        for qy in range(NQ):
-            for qx in range(NQ):
-                qi = qy * NQ + qx
-                v = minv[qy : qy + th, qi, qx : qx + tw]
-                a = args[qy : qy + th, qi, qx : qx + tw]
-                upd = v < best
-                best = jnp.where(upd, v, best)
-                bestq = jnp.where(upd, qi, bestq)
-                bests = jnp.where(upd, a, bests)
-    else:
-        # XLA hybrid. Measured constraints on v5e that shape this code:
-        # fp32-OUTPUT batched einsum is ~125x slower than bf16-output
-        # (1.8s vs 14ms/frame), and wide fp32 argmin is ~13x slower than
-        # bf16. So: bf16 einsum, and the error tensor keeps the per-tile
-        # |T|^2 term so its values sit near the TRUE squared distance —
-        # bf16's 0.4% RELATIVE rounding then barely perturbs ranking
-        # (dropping T2 re-centers values at +-1e7 and quantizes candidate
-        # gaps away). The winner's error is recomputed exactly below.
-        Fblk = Fblk_mn  # [mh, mw, 64, KR], already blocked by the field pass
-        N2blk = N2blk_mn  # [mh, mw, 64]
-        neigh = jnp.stack(
-            [
-                tpad[NQ - 1 - qy : NQ - 1 - qy + mh, NQ - 1 - qx : NQ - 1 - qx + mw]
-                for qy in range(NQ)
-                for qx in range(NQ)
-            ],
-            axis=2,
-        )  # [mh, mw, NQ^2, KR]
-        D = jnp.einsum(
-            "mnsk,mnqk->mnqs", Fblk, neigh, preferred_element_type=jnp.bfloat16
-        )  # [mh, mw, NQ^2(q), 64(s)] — q-major: per-q slices keep s contiguous
-        # per-q (min, argmin) then a tiny [th, tw, NQ^2] merge: same
-        # lexicographic (q-major, s-minor) tie winner as the flattened
-        # argmin, without materializing the [th, tw, 4096] error tensor
-        mins = []
-        args = []
-        for qy in range(NQ):
-            for qx in range(NQ):
-                qi = qy * NQ + qx
-                e = (
-                    T2[:, :, None]
-                    - 2.0 * D[qy : qy + th, qx : qx + tw, qi].astype(jnp.float32)
-                    + N2blk[qy : qy + th, qx : qx + tw]
-                    + jnp.asarray(pen_np[:, qi])
-                ).astype(jnp.bfloat16)
-                mins.append(jnp.min(e, axis=-1))
-                args.append(jnp.argmin(e, axis=-1))
-        minq = jnp.stack(mins, axis=2)  # [th, tw, NQ^2]
-        argq = jnp.stack(args, axis=2)
-        bestq = jnp.argmin(minq, axis=-1).astype(jnp.int32)
-        bests = jnp.take_along_axis(argq, bestq[..., None], axis=2)[..., 0]
-        bests = bests.astype(jnp.int32)
+    # XLA hybrid rank. (A fused Pallas rank kernel was built and measured
+    # in round 2 but lost to this path: Mosaic cannot lower its batched
+    # contraction to the MXU — batch dims must share positions and the
+    # per-position rhs layout is unbuildable in VMEM — so it ran VPU-bound;
+    # removed in round 3, see git history for the experiment.) Measured
+    # constraints on v5e that shape this code:
+    # fp32-OUTPUT batched einsum is ~125x slower than bf16-output
+    # (1.8s vs 14ms/frame), and wide fp32 argmin is ~13x slower than
+    # bf16. So: bf16 einsum, and the error tensor keeps the per-tile
+    # |T|^2 term so its values sit near the TRUE squared distance —
+    # bf16's 0.4% RELATIVE rounding then barely perturbs ranking
+    # (dropping T2 re-centers values at +-1e7 and quantizes candidate
+    # gaps away). The winner's error is recomputed exactly below.
+    Fblk = Fblk_mn  # [mh, mw, 64, KR], already blocked by the field pass
+    N2blk = N2blk_mn  # [mh, mw, 64]
+    neigh = jnp.stack(
+        [
+            tpad[NQ - 1 - qy : NQ - 1 - qy + mh, NQ - 1 - qx : NQ - 1 - qx + mw]
+            for qy in range(NQ)
+            for qx in range(NQ)
+        ],
+        axis=2,
+    )  # [mh, mw, NQ^2, KR]
+    D = jnp.einsum(
+        "mnsk,mnqk->mnqs", Fblk, neigh, preferred_element_type=jnp.bfloat16
+    )  # [mh, mw, NQ^2(q), 64(s)] — q-major: per-q slices keep s contiguous
+    # per-q (min, argmin) then a tiny [th, tw, NQ^2] merge: same
+    # lexicographic (q-major, s-minor) tie winner as the flattened
+    # argmin, without materializing the [th, tw, 4096] error tensor
+    mins = []
+    args = []
+    for qy in range(NQ):
+        for qx in range(NQ):
+            qi = qy * NQ + qx
+            e = (
+                T2[:, :, None]
+                - 2.0 * D[qy : qy + th, qx : qx + tw, qi].astype(jnp.float32)
+                + N2blk[qy : qy + th, qx : qx + tw]
+                + jnp.asarray(pen_np[:, qi])
+            ).astype(jnp.bfloat16)
+            mins.append(jnp.min(e, axis=-1))
+            args.append(jnp.argmin(e, axis=-1))
+    minq = jnp.stack(mins, axis=2)  # [th, tw, NQ^2]
+    argq = jnp.stack(args, axis=2)
+    bestq = jnp.argmin(minq, axis=-1).astype(jnp.int32)
+    bests = jnp.take_along_axis(argq, bestq[..., None], axis=2)[..., 0]
+    bests = bests.astype(jnp.int32)
     best_oy = ((bestq // NQ) * TILE_W - P + bests // TILE_W).astype(jnp.int32)
     best_ox = ((bestq % NQ) * TILE_W - P + bests % TILE_W).astype(jnp.int32)
 

@@ -21,12 +21,25 @@ from ..ops.metrics import euclidean_to_psnr
 from .motion import motion_search_batch
 
 
-def _frame_chunk(H: int, W: int, budget_bytes: float = 2e10) -> int:
+def _frame_chunk(H: int, W: int, budget_bytes: float = 0.0) -> int:
     """Frames per dispatch. lax.map runs frames SEQUENTIALLY inside one
     program, so the field transients are per-iteration, not per-chunk —
-    the chunk only bounds the [chunk, H, W, 3] input copy. Large chunks
-    matter because every dispatch costs a full tunnel round-trip
-    (~30-40 ms measured) on top of the compute."""
+    the chunk only bounds the [chunk, H, W, 3] cur+ref copies. Large
+    chunks matter because every dispatch costs a full tunnel round-trip
+    (~30-40 ms measured) on top of the compute, but the copies must fit
+    next to whatever is already resident: size the budget from the
+    device's actual free memory (conservative fallback 4e9 — a previous
+    fixed 2e10 budget could stage ~20 GB in host-streaming mode and OOM
+    a 16 GB-class chip)."""
+    if not budget_bytes:
+        budget_bytes = 4e9
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats and "bytes_limit" in stats:
+                free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
+                budget_bytes = max(1e9, min(0.5 * free, 2e10))
+        except Exception:
+            pass
     per_frame = H * W * 3 * 2  # cur + ref uint8 copies
     return max(1, int(budget_bytes / per_frame))
 

@@ -349,6 +349,17 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
         # in fp32, so very large errors lose the low bits int64 would keep)
         dsj = jnp.round(dsj)
     T = int(dsj.shape[0])
+    # the EPU tie-break and the phase-A d2h both pack (tile, palette) into
+    # ONE int32 (tile*P + pal and tile << pbits | pal): overflow would flip
+    # signs and silently corrupt tile indexes, so fail loudly instead
+    pbits_chk = max(1, (settings.palette_count - 1).bit_length())
+    if T >= (1 << (31 - pbits_chk)) or T * settings.palette_count >= 2**31:
+        raise ValueError(
+            f"corpus of {T} tiles with {settings.palette_count} palettes "
+            f"overflows the int32 (tile, palette) packing (tile count must "
+            f"stay under {1 << (31 - pbits_chk)}); lower "
+            f"GlobalTilingTileCount/quality"
+        )
 
     ds_sharded = None
     if mesh is not None:

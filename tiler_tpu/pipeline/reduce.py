@@ -85,12 +85,20 @@ def reduce_tiles(state: EncodeState, settings: EncoderSettings) -> EncodeState:
         order = np.sort(min_eff)
         target = min(target, n_unique)
         x = float(order[target - 1]) if target >= 1 else -np.inf
-        cnt_at = int(np.searchsorted(order, x, side="right"))
-        if target >= 2:
-            x_lo = float(order[target - 2])
-            cnt_lo = int(np.searchsorted(order, x_lo, side="right"))
-            if abs(cnt_lo - target) < abs(cnt_at - target):
-                x = x_lo
+        # The reference's golden search brackets the count step nearest the
+        # target (GoldenRatioSearch, utils.pas:1044-1072 via STCGREval,
+        # tilingencoder.pas:4014-4046). When a tie block of equal eff values
+        # spans the target, the achievable counts are only the tie-block END
+        # (threshold = tie value) or the tie-block START (threshold = previous
+        # DISTINCT value). order[target-2] sits INSIDE the tie block and holds
+        # the same value, so comparing against it was a no-op that always
+        # overshot to the block end (round-2 bench: corpus 115,537 vs the
+        # ~59,843 budget). Compare the two genuine step counts instead and
+        # take the closer (ties -> the smaller corpus, respecting the budget).
+        cnt_hi = int(np.searchsorted(order, x, side="right"))  # tie-block end
+        cnt_lo = int(np.searchsorted(order, x, side="left"))  # count below tie
+        if cnt_lo >= 1 and abs(cnt_lo - target) <= abs(cnt_hi - target):
+            x = float(order[cnt_lo - 1])
 
     unpred_flat = eff_flat <= x
     tm.predicted = (~unpred_flat).reshape(F, N)
