@@ -11,8 +11,12 @@
 //   props byte ((pb*5+lp)*9+lc) + dict size (4B LE) + 8x0xFF + data,
 //   EOS-terminated (distance 0xFFFFFFFF marker).
 //
-// Encoder: hash-4 chain match finder with lazy matching and rep-distance
-// checks; greedy price heuristics (not the full optimal parse — planned).
+// Encoder, two parses sharing one probability model:
+//   depth < 0: price-based optimal parse (windowed DP), hash-4 chains of
+//              depth |depth| — the ratio mode (~0.52 on GTM payloads).
+//   depth > 0: LzmaEnc-GetOptimumFast-style lazy greedy over a hash-5
+//              chain finder with a closest-4 probe — the throughput mode
+//              (~2.2x faster at ~1.04x the optimal size).
 //
 // C ABI for ctypes:
 //   gtm_lzma_compress(in, in_len, out, out_cap, lc, lp, pb, dict, depth)
@@ -243,6 +247,30 @@ struct Encoder {
   static constexpr int kHashBits = 17;
   std::vector<int32_t> head;   // hash -> last pos
   std::vector<int32_t> prevp;  // pos -> previous pos with same hash
+  // fast-mode finder: hash-5 chains + head-only hash-4 probe. GTM tile
+  // payloads repeat 4-grams massively, so hash-4 chains degenerate into
+  // thousands-deep walks (greedy depth 64 measured ~1.2 MB/s); a 5-byte
+  // 20-bit hash keeps chain steps meaningful and one closest-4 probe
+  // preserves short-match coverage.
+#ifndef GTM_H5BITS
+#define GTM_H5BITS 20
+#endif
+  static constexpr int kHash5Bits = GTM_H5BITS;
+  std::vector<int32_t> head5;
+  std::vector<int32_t> head4;
+
+  // hide the table/candidate misses of the NEXT find under the current
+  // token's range-coder work (the finder is ~50% cache-miss stalls)
+  void prefetch_find(const u8* data, size_t n, size_t pos) {
+    if (pos + 5 > n) return;
+    int32_t c5 = head5[hash5(data + pos)];
+    int32_t c4 = head4[hash4(data + pos)];
+    if (c5 >= 0) {
+      __builtin_prefetch(data + c5);
+      __builtin_prefetch(&prevp[c5]);
+    }
+    if (c4 >= 0) __builtin_prefetch(data + c4);
+  }
 
   Encoder(int lc_, int lp_, int pb_, int depth_)
       : lc(lc_), lp(lp_), pb(pb_), depth(depth_) {
@@ -438,6 +466,62 @@ struct Encoder {
     u32 h = hash4(data + pos);
     prevp[pos] = head[h];
     head[h] = (int32_t)pos;
+  }
+
+  static u32 hash5(const u8* p) {
+    u64 v;
+    memcpy(&v, p, 8);
+    return (u32)(((v & 0xFFFFFFFFFFull) * 0x9E3779B185EBCA87ull) >>
+                 (64 - kHash5Bits));
+  }
+
+  void insert_fast(const u8* data, size_t n, size_t pos) {
+    if (pos + 4 > n) return;
+    head4[hash4(data + pos)] = (int32_t)pos;
+    if (pos + 5 > n) return;
+    u32 h = hash5(data + pos);
+    prevp[pos] = head5[h];
+    head5[h] = (int32_t)pos;
+  }
+
+  // fast-mode best match: closest 4-gram probe, then the hash-5 chain;
+  // stops early at nice_len (LzmaEnc numFastBytes analog)
+  void find_match_fast(const u8* data, size_t n, size_t pos, u32& best_len,
+                       u32& best_dist, u32 nice_len) {
+    best_len = 0;
+    best_dist = 0;
+    if (pos + 4 > n) return;
+    u32 maxl = (u32)((n - pos < kMaxLen) ? (n - pos) : kMaxLen);
+    int32_t c4 = head4[hash4(data + pos)];
+    if (c4 >= 0) {
+      u32 l = extend(data + pos, data + c4, maxl);
+      if (l >= 2) {
+        best_len = l;
+        best_dist = (u32)(pos - c4 - 1);
+      }
+    }
+    if (pos + 5 <= n && best_len < nice_len) {
+      int32_t cand = head5[hash5(data + pos)];
+      int d = depth;
+      const u8* a = data + pos;
+      while (cand >= 0 && d-- > 0) {
+        const u8* b = data + cand;
+        if (best_len == 0 ||
+            (best_len < maxl && b[best_len] == a[best_len])) {
+          u32 l = extend(a, b, maxl);
+          if (l > best_len) {
+            best_len = l;
+            best_dist = (u32)(pos - cand - 1);
+            if (l >= nice_len || l >= maxl) break;
+          }
+        }
+        cand = prevp[cand];
+      }
+    }
+    if (best_len < 2) best_len = 0;
+    // long distances need more length to pay off (price heuristic)
+    if (best_len == 2 && best_dist >= 512) best_len = 0;
+    if (best_len == 3 && best_dist >= (1u << 15)) best_len = 0;
   }
 
   // ------------------------------------------------------------------
@@ -763,7 +847,11 @@ struct Encoder {
           const u32* rlp = rep_len_price_tab[ps];
           // long runs: dense lens are practically never optimal mid-cut;
           // relax the short range + the tail (LzmaEnc fast-bytes analog)
-          u32 dense = L <= 40 ? L : 32;
+#ifndef GTM_DENSE
+#define GTM_DENSE 8
+#endif  // dense=8 measured 0.1% SMALLER than 32 on GTM payloads (the DP
+        // rarely cuts long runs mid-length; the tail relaxes cover it)
+          u32 dense = L <= (GTM_DENSE + 8) ? L : GTM_DENSE;
           for (u32 len = 2; len <= dense; len++)
             relax(i + (int)len, base + rlp[len], len, (u32)r, nst, nreps);
           for (u32 len = (L > 40 ? L - 1 : L + 1); len <= L; len++)
@@ -795,7 +883,7 @@ struct Encoder {
                      g_prices.p0(is_rep[st]);
           const u32* lp = len_price_tab[ps];
           u32 lo = prev_len + 1 < 2 ? 2 : prev_len + 1;
-          u32 dense = L <= 40 ? L : (lo + 32 < L ? lo + 32 : L);
+          u32 dense = L <= (GTM_DENSE + 8) ? L : (lo + GTM_DENSE < L ? lo + GTM_DENSE : L);
           for (u32 len = lo; len <= dense; len++)
             relax(i + (int)len,
                   base + lp[len] + price_dist_cached(dist, len), len,
@@ -844,50 +932,80 @@ struct Encoder {
     return out.size();
   }
 
+  // ChangePair (LzmaEnc): switching to `big` from `small` only pays when
+  // the distance grows by less than ~128x
+  static bool change_pair(u32 small_d, u32 big_d) { return (big_d >> 7) > small_d; }
+
   size_t compress(const u8* data, size_t n, std::vector<u8>& out, u32 dict_size) {
     out.push_back((u8)((pb * 5 + lp) * 9 + lc));
     for (int i = 0; i < 4; i++) out.push_back((u8)(dict_size >> (8 * i)));
     for (int i = 0; i < 8; i++) out.push_back(0xFF);
 
     prevp.assign(n, -1);
+    head5.assign(1 << kHash5Bits, -1);
+    head4.assign(1 << kHashBits, -1);
     RangeEncoder rc;
     rc.out = &out;
 
+    constexpr u32 kNiceLen = 64;  // numFastBytes: a match this long is
+    // taken immediately and the chain walk stops early
+
     size_t pos = 0;
-    size_t skip_mf_until = 0;  // long-run fast path: positions inside a
-    // found long match skip the match finder (rep relaxes still run, so
-    // the DP stays connected); LzmaEnc's numFastBytes skip analog
+    bool have_next = false;  // cached find at pos (from the lazy probe)
+    u32 cached_len = 0, cached_dist = 0;
     while (pos < n) {
       u32 pos_state = (u32)pos & pb_mask;
 
-      // rep candidates
-      u32 rep_len[4] = {0, 0, 0, 0};
+      // rep candidates, first-byte prefiltered (a full extend per rep per
+      // position was ~a third of greedy time on tile runs)
       int best_rep = -1;
       u32 best_rep_len = 0;
-      if (state >= 0) {
-        for (int i = 0; i < 4; i++) {
-          rep_len[i] = match_len(data, n, pos, reps[i]);
-          if (rep_len[i] >= 2 && rep_len[i] > best_rep_len) {
-            best_rep_len = rep_len[i];
-            best_rep = i;
-          }
+      for (int i = 0; i < 4; i++) {
+        u32 d = reps[i];
+        if (d + 1 > pos || data[pos] != data[pos - d - 1]) continue;
+        u32 L = match_len(data, n, pos, d);
+        if (L >= 2 && L > best_rep_len) {
+          best_rep_len = L;
+          best_rep = i;
         }
       }
       u32 mlen, mdist;
-      find_match(data, n, pos, mlen, mdist);
+      if (have_next) {
+        mlen = cached_len;
+        mdist = cached_dist;
+        have_next = false;
+      } else {
+        find_match_fast(data, n, pos, mlen, mdist, kNiceLen);
+      }
 
-      // lazy: if next position has a longer match, emit one literal/shortrep
-      bool use_match = mlen >= 2;
+      // LzmaEnc GetOptimumFast selection rules
       bool use_rep = best_rep_len >= 2 &&
                      (best_rep_len + 1 >= mlen ||
-                      (best_rep_len + 2 >= mlen && mdist >= (1u << 9)));
+                      (best_rep_len + 2 >= mlen && mdist >= (1u << 9)) ||
+                      (best_rep_len + 3 >= mlen && mdist >= (1u << 15)));
+      bool use_match = !use_rep && mlen >= 2;
       u32 cur_len = use_rep ? best_rep_len : mlen;
-      if ((use_match || use_rep) && pos + 1 < n && cur_len < kMaxLen) {
-        insert(data, n, pos);
+
+      if ((use_match || use_rep) && cur_len < kNiceLen && pos + 1 < n) {
+        // lazy probe at pos+1; the result is reused next iteration when
+        // we defer (have_next), so the finder runs once per position
+        insert_fast(data, n, pos);
         u32 nlen, ndist;
-        find_match(data, n, pos + 1, nlen, ndist);
-        if (nlen > cur_len + 1) {
-          // defer: emit a single byte (shortrep when it matches rep0)
+        find_match_fast(data, n, pos + 1, nlen, ndist, kNiceLen);
+        bool defer;
+        if (use_rep) {
+          defer = nlen > cur_len + 1;
+        } else {
+          defer = (nlen >= cur_len && ndist < mdist) ||
+                  (nlen == cur_len + 1 && !change_pair(mdist, ndist)) ||
+                  nlen > cur_len + 1 ||
+                  (nlen + 1 >= cur_len && cur_len >= 3 &&
+                   change_pair(ndist, mdist));
+        }
+        if (defer) {
+          cached_len = nlen;
+          cached_dist = ndist;
+          have_next = true;
           if (pos >= reps[0] + 1 && data[pos] == data[pos - reps[0] - 1]) {
             encode_shortrep(rc, pos_state);
           } else {
@@ -897,29 +1015,33 @@ struct Encoder {
           pos += 1;
           continue;
         }
-        // not lazy: fall through (pos already inserted)
+        for (size_t p2 = pos + 1; p2 < pos + cur_len && p2 < n; p2++)
+          insert_fast(data, n, p2);
+        prefetch_find(data, n, pos + cur_len);
         if (use_rep) {
           encode_rep(rc, pos_state, best_rep, best_rep_len);
         } else {
           encode_match(rc, pos_state, mdist, mlen);
         }
-        for (size_t p2 = pos + 1; p2 < pos + cur_len && p2 < n; p2++) insert(data, n, p2);
         pos += cur_len;
         continue;
       }
       if (use_match || use_rep) {
-        insert(data, n, pos);
+        insert_fast(data, n, pos);
+        for (size_t p2 = pos + 1; p2 < pos + cur_len && p2 < n; p2++)
+          insert_fast(data, n, p2);
+        prefetch_find(data, n, pos + cur_len);
         if (use_rep) {
           encode_rep(rc, pos_state, best_rep, best_rep_len);
         } else {
           encode_match(rc, pos_state, mdist, mlen);
         }
-        for (size_t p2 = pos + 1; p2 < pos + cur_len && p2 < n; p2++) insert(data, n, p2);
         pos += cur_len;
         continue;
       }
       // single byte: shortrep if it matches rep0
-      insert(data, n, pos);
+      insert_fast(data, n, pos);
+      prefetch_find(data, n, pos + 1);
       if (pos >= reps[0] + 1 && pos > 0 && data[pos] == data[pos - reps[0] - 1]) {
         encode_shortrep(rc, pos_state);
       } else {

@@ -99,6 +99,14 @@ def main():
                                  motion_rank_dims=48))
         rows.append(encode_point(frames, fps, ref_bps, "q=7+countpred",
                                  count_predicted_tiles=True))
+        rows.append(encode_point(frames, fps, ref_bps, "q=7+yliluoma2",
+                                 dithering_use_thomas_knoll=False))
+        rows.append(encode_point(frames, fps, ref_bps, "q=7+epu_pal_k16",
+                                 epu_pal_k=16))
+        rows.append(encode_point(frames, fps, ref_bps, "q=7+lzma_fast",
+                                 lzma_mode="fast"))
+        rows.append(encode_point(frames, fps, ref_bps, "q=7+noskip",
+                                 knn_skip_perfect_pred=False))
     print(json.dumps({"content": content, "ref_bps": ref_bps, "rows": rows}))
 
 

@@ -108,6 +108,7 @@ class GTMWriter:
         palette_size: int,
         settings_text: str = "",
         lc: int = 8,  # reference parity (extern.pas:427); stdlib fallback clamps
+        lzma_mode: str = "optimal",
     ):
         self.tw = tilemap_w
         self.th = tilemap_h
@@ -115,6 +116,7 @@ class GTMWriter:
         self.palette_size = palette_size
         self.settings_text = settings_text
         self.lc = lc
+        self.lzma_mode = lzma_mode
 
     # ---- stream prologue -------------------------------------------------
     def _prologue(self, tiles_pal: np.ndarray, use_counts: np.ndarray,
@@ -348,7 +350,8 @@ class GTMWriter:
         # this host has a single CPU, so chunk/thread parallelism only
         # costs ratio (~7% at 512 KB chunks, measured); compress serially
         # and rely on the native encoder's speed instead.
-        comps = [lzma_codec.compress(p, lc=self.lc) for p in payloads]
+        comps = [lzma_codec.compress(p, lc=self.lc, mode=self.lzma_mode)
+                 for p in payloads]
 
         kf_infos = []
         last_kf = 0

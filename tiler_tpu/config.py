@@ -61,6 +61,14 @@ class EncoderSettings:
     # (SmallInt semantics, tilingencoder.pas:3126) in the motion/
     # reconstruct EXACT error paths — near-tie selections then match the
     # reference's quantized distances; ranking stays bf16 either way
+    lzma_mode: str = "optimal"  # "optimal" (ratio preset: price-DP parse,
+    # 0.996x the reference's own stream sizes) or "fast" (hash-5 lazy
+    # greedy, ~2.2x faster at ~1.04x size) — native/lzma.cpp
+    knn_skip_perfect_pred: bool = True  # skip phase-A KNN/EPU for cells
+    # already predicted with a perfect-threshold motion PSNR (>= 48.13 dB
+    # = euclidean TOL 192) — the reference's own skip (mpErr <= cTileDCTSize
+    # bypasses the kd-tree, tilingencoder.pas:1535-1547), tested here on
+    # the phase-A PSNR instead of the phase-B reconstruction error
     count_predicted_tiles: bool = False  # reference Reindex parity
     # (:2012-2030): prediction-overridden cells keep their KNN tile_idx
     # and count into the TileSet (never emitted as commands — a larger

@@ -58,6 +58,11 @@ TOL = 192.0  # cTileDCTSize comparison tolerance (tilingencoder.pas:1535,1614)
 
 
 @jax.jit
+def _gather_cells(tiles_flat, idx):
+    return tiles_flat[idx]
+
+
+@jax.jit
 def _render_corpus_dev(palettes_rgb, pal_initial, pal_pixels):
     """Corpus tiles through their own palettes -> RGB uint8 [T, 8, 8, 3]
     (PrepareReconstruct DoPsyV, tilingencoder.pas:4577-4597). On device."""
@@ -414,33 +419,89 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
         Q = jnp.zeros((1, 3 * S * S), jnp.float32)
 
     if ds_sharded is None:
-        # single chip: all (device-resident) frames in one dispatch + one
-        # packed d2h; host-RAM streaming mode groups frames to bound the
-        # h2d staging copy (one dispatch per group)
+        # single chip. Cell COMPACTION first: the reference runs the KNN
+        # only when the motion re-search isn't already perfect (mpErr <=
+        # cTileDCTSize skips it, tilingencoder.pas:1535-1547). Cells that
+        # Reduce marked predicted with a phase-A motion PSNR at/above the
+        # "perfect" threshold (euclidean TOL=192 -> 48.13 dB) stay
+        # predicted in phase B with overwhelming likelihood, so their
+        # KNN/EPU work is dropped and the survivors are gathered into
+        # dense rows — on motion-heavy content this cuts the phase-A
+        # corpus search + cartesian re-rank by the predicted fraction.
+        # KF-start frames never predict (:1496) and always keep KNN.
+        # Skipped cells get err=+inf: phase B then always keeps the
+        # prediction for them. The exact-threshold proxy deviation (we
+        # test the phase-A vs-original PSNR, the reference the phase-B
+        # vs-reconstruction error) only matters for cells whose
+        # reconstruction drifted; disabled in count_predicted_tiles
+        # parity mode where every cell's tile feeds Reindex.
         host_res = isinstance(state.tiles_canon, np.ndarray)
-        gsize = F if not host_res else min(F, 256)
-        outs = []
-        for f0 in range(0, F, gsize):
-            g = min(F, f0 + gsize) - f0
-            gp = g if g == gsize else max(1, 1 << (g - 1).bit_length())
-            idxs = np.minimum(np.arange(gp) + f0, F - 1)
-            tiles_dev = jnp.asarray(
-                state.tiles_canon[idxs] if host_res else
-                state.tiles_canon[jnp.asarray(idxs)]
-            ).reshape(gp, N, 8, 8, 3)
-            packed = np.asarray(_knn_all_frames(
-                tiles_dev, dsj, G, Q, pal_initial, pal_yuv, pp_dev,
-                palettes_dev, kk=kk, pal_k=pal_k, S=S,
-                cell_chunk=cell_chunk, epu=epu,
-                int16=settings.int16_features, pallas_topk=pallas_topk,
-            ))
-            outs.append(packed[:, :g])
-        packed = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)
+        tm = state.tilemap
         pbits = max(1, (settings.palette_count - 1).bit_length())
+        perfect_db = 10.0 * np.log10(255.0 * 255.0 / max(0.5, TOL / 192.0))
+        skip_ok = (
+            settings.knn_skip_perfect_pred
+            and not settings.count_predicted_tiles
+            and tm is not None
+            and tm.predicted.any()
+        )
+        if skip_ok:
+            need = ~(tm.predicted & (tm.psnr >= perfect_db - 1e-6))
+            for kf in state.keyframes:
+                need[kf.start_frame] = True
+            sel = np.flatnonzero(need.reshape(-1))
+            sel_cheap = np.flatnonzero(~need.reshape(-1))
+        else:
+            sel = np.arange(F * N, dtype=np.int64)
+            sel_cheap = np.empty(0, np.int64)
+        out_tile = np.zeros(F * N, np.int32)
+        out_pal = np.zeros(F * N, np.int32)
+        out_err = np.full(F * N, np.inf, np.float32)
+        tiles_flat = state.tiles_canon.reshape(F * N, 8, 8, 3)
+
+        def run_cells(cells, use_kk, use_pal_k, use_epu, use_pallas):
+            M = len(cells)
+            NR = 8192  # cells per compacted row (lax.map iteration)
+            rows = max(1, -(-M // NR))
+            rows = 1 << (rows - 1).bit_length()  # pow2: stable compiles
+            Mpad = rows * NR
+            selp = np.concatenate(
+                [cells, np.full(Mpad - M, cells[-1], np.int64)])
+            # host-RAM streaming mode: gather on host, bound each h2d
+            # staging copy; device mode: one device gather, one dispatch
+            grows = rows if not host_res else max(1, min(rows, 32))
+            outs = []
+            for r0 in range(0, rows, grows):
+                rsel = selp[r0 * NR : (r0 + grows) * NR]
+                if host_res:
+                    tiles_dev = jnp.asarray(tiles_flat[rsel])
+                else:
+                    tiles_dev = _gather_cells(tiles_flat, jnp.asarray(rsel))
+                packed = np.asarray(_knn_all_frames(
+                    tiles_dev.reshape(grows, NR, 8, 8, 3),
+                    dsj, G, Q, pal_initial, pal_yuv, pp_dev,
+                    palettes_dev, kk=use_kk, pal_k=use_pal_k, S=S,
+                    cell_chunk=cell_chunk, epu=use_epu,
+                    int16=settings.int16_features, pallas_topk=use_pallas,
+                ))
+                outs.append(packed.reshape(2, -1))
+            packed = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)
+            out_tile[cells] = (packed[0, :M] >> pbits).astype(np.int32)
+            out_pal[cells] = (packed[0, :M] & ((1 << pbits) - 1)).astype(np.int32)
+            out_err[cells] = packed[1, :M].view(np.float32)
+
+        if len(sel):
+            run_cells(sel, kk, pal_k, epu, pallas_topk)
+        if len(sel_cheap):
+            # skipped cells still get a CHEAP k=1 nearest tile (one argmin
+            # matmul, no top-k/EPU): phase B then compares a real knn error
+            # against the drifted prediction instead of never switching —
+            # recovers most of the compaction's PSNR at ~6 ms/frame
+            run_cells(sel_cheap, 1, 1, False, False)
         return (
-            (packed[0] >> pbits).astype(np.int32),
-            (packed[0] & ((1 << pbits) - 1)).astype(np.int32),
-            packed[1].view(np.float32),
+            out_tile.reshape(F, N),
+            out_pal.reshape(F, N),
+            out_err.reshape(F, N),
         )
 
     # mesh path: corpus-sharded top-k per frame group (collectives per

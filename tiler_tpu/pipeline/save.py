@@ -35,6 +35,7 @@ def save(state: EncodeState, settings: EncoderSettings, path) -> GTMStats:
         state.fps,
         settings.palette_size,
         settings_text=settings.to_ini(),
+        lzma_mode=settings.lzma_mode,
     )
     return writer.write(
         path,
