@@ -215,6 +215,23 @@ def test_host_resident_streaming_mode(tmp_path):
     assert open(p1, 'rb').read() == open(p2, 'rb').read()
 
 
+def test_phase_b_research_mode(tmp_path, encoded):
+    """Reference-parity phase-B mode: full-radius motion re-search against
+    the reconstruction (tilingencoder.pas:1496-1532) instead of the default
+    phase-A vector reuse. Both must produce decodable, recognizable streams
+    and mostly-predicted non-KF frames on this trivially predictable clip."""
+    clip, enc, path = encoded
+    s = _settings()
+    s.phase_b_motion = "research"
+    enc2 = Encoder(s, log=lambda *a: None)
+    p = tmp_path / "research.gtm"
+    enc2.run_all(clip, fps=25.0, out_path=str(p))
+    frames = GTMDecoder(str(p)).decode_frames()
+    assert len(frames) == len(clip)
+    assert _psnr_rgb(np.stack(frames)[..., :3], clip) > 20.0
+    assert enc2.state.tilemap.predicted[1:].mean() > 0.5
+
+
 def test_single_frame_video(tmp_path):
     """F=1: no motion prediction possible anywhere; still a valid stream."""
     clip = synthetic_clip(F=1)

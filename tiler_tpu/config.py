@@ -61,6 +61,14 @@ class EncoderSettings:
     # (SmallInt semantics, tilingencoder.pas:3126) in the motion/
     # reconstruct EXACT error paths — near-tie selections then match the
     # reference's quantized distances; ranking stays bf16 either way
+    phase_b_motion: str = "reuse"  # "reuse" (default): exactly evaluate
+    # the PHASE-A vector against the reconstruction (the pred-vs-knn
+    # decision still sees a true reconstruction error, only the vector is
+    # not re-optimized); "research": full-radius re-search vs the
+    # reconstruction every frame (reference parity, tilingencoder.pas:
+    # 1496-1532). A/B on the bench clip (docs/PARITY.md): reuse is 0.35s
+    # faster AND +0.67 dB PSNR-HVS at 8% smaller stream — re-searching
+    # against the lossy reconstruction locks onto its artifacts
     lzma_mode: str = "optimal"  # "optimal" (ratio preset: price-DP parse,
     # 0.996x the reference's own stream sizes) or "fast" (hash-5 lazy
     # greedy, ~2.2x faster at ~1.04x size) — native/lzma.cpp

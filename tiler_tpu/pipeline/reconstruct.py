@@ -576,42 +576,87 @@ def _pack_phase_b(oy, ox, use_pred, cell_err):
     return jnp.stack([w0, w1])
 
 
+def _eval_vectors(cur, back, oy, ox, th, tw, int16: bool):
+    """Exact weighted-DCT error of the given per-cell motion vectors
+    against `back` (the phase-B candidate evaluation without a re-search):
+    im2row window gather + one feature matmul + the Manhattan tie penalty
+    (reference distance semantics, tilingencoder.pas:1232-1235).
+    Returns (err [N] f32, win [N, 8, 8, 3] f32)."""
+    H, W = cur.shape[0], cur.shape[1]
+    N = th * tw
+    curt = cur.reshape(th, TILE_W, tw, TILE_W, 3).swapaxes(1, 2)
+    T = tile_features_raster(curt).reshape(N, K)
+    if int16:
+        T = jnp.round(T)
+    wy = (jnp.arange(th, dtype=jnp.int32)[:, None] * TILE_W
+          + oy.reshape(th, tw))
+    wx = (jnp.arange(tw, dtype=jnp.int32)[None, :] * TILE_W
+          + ox.reshape(th, tw))
+    wyc = jnp.clip(wy, 0, H - TILE_W).reshape(-1)
+    wxc = jnp.clip(wx, 0, W - TILE_W).reshape(-1)
+    R1 = jnp.stack(
+        [back[:, dx : dx + W - 7] for dx in range(TILE_W)], axis=2
+    )  # [H, W-7, 8(dx), 3]
+    win = R1[wyc[:, None] + jnp.arange(TILE_W)[None, :], wxc[:, None]]
+    Wv = tile_features_raster(win)
+    if int16:
+        Wv = jnp.round(Wv)
+    d = T - Wv
+    err = jnp.sum(d * d, axis=-1)
+    err = err + jnp.abs(oy).astype(jnp.float32) + jnp.abs(ox).astype(jnp.float32)
+    return err, win
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "th", "tw", "int16",
-                                             "rank_dims"))
+                                             "rank_dims", "mode"))
 def _phase_b_scan_batch(frames_u8, knn_tile, knn_pal, knn_err, hm, vm,
-                        kf_start, pp, palettes, radius: int, th: int, tw: int,
-                        int16: bool = False, rank_dims: int = K):
+                        kf_start, pay, pax, pp, palettes, radius: int,
+                        th: int, tw: int, int16: bool = False,
+                        rank_dims: int = K, mode: str = "research"):
     """Keyframe-parallel phase B: vmap the sequential per-KF scan over a
     batch of same-length keyframes (keyframes are independent — a KF-start
     frame never predicts, tilingencoder.pas:1496). The reference gets this
     overlap from nothing (it is strictly sequential); here G keyframes'
     sequential chains run in lockstep on one chip, G bounded by the motion
     transients (see reconstruct())."""
-    f = lambda fr, kt, kp_, ke, h, v, ks: _phase_b_scan(
-        fr, kt, kp_, ke, h, v, ks, pp, palettes, radius, th, tw,
-        int16, rank_dims)
-    return jax.vmap(f)(frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start)
+    f = lambda fr, kt, kp_, ke, h, v, ks, py, px: _phase_b_scan(
+        fr, kt, kp_, ke, h, v, ks, py, px, pp, palettes, radius, th, tw,
+        int16, rank_dims, mode)
+    return jax.vmap(f)(frames_u8, knn_tile, knn_pal, knn_err, hm, vm,
+                       kf_start, pay, pax)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "th", "tw", "int16",
-                                             "rank_dims"))
+                                             "rank_dims", "mode"))
 def _phase_b_scan(frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start,
-                  pp, palettes, radius: int, th: int, tw: int,
-                  int16: bool = False, rank_dims: int = K):
+                  pay, pax, pp, palettes, radius: int, th: int, tw: int,
+                  int16: bool = False, rank_dims: int = K,
+                  mode: str = "research"):
     """Sequential selection/render scan over frames, carry = back buffer.
 
     frames_u8 [F,H,W,3] uint8; knn_* [F,N]; hm/vm [F,N] bool;
-    kf_start [F] bool; pp [T,8,8] uint8; palettes [P,S,3] uint8.
+    kf_start [F] bool; pay/pax [F,N] i32 phase-A vectors; pp [T,8,8]
+    uint8; palettes [P,S,3] uint8.
     Returns per-frame (oy, ox [F,N] i32, use_pred [F,N] bool, err [F,N]).
+
+    mode "research": full-radius motion re-search against the
+    reconstruction every frame (reference parity, tilingencoder.pas:
+    1496-1532). mode "reuse": evaluate the PHASE-A vector exactly against
+    the reconstruction instead (~6x cheaper per frame); the pred-vs-knn
+    decision still uses a true reconstruction error, only the vector
+    itself is not re-optimized.
     """
     H, W = th * TILE_W, tw * TILE_W
     N = th * tw
 
     def step(back, xs):
-        frame, ktile, kpal, kerr, hmf, vmf, kstart = xs
+        frame, ktile, kpal, kerr, hmf, vmf, kstart, py, px = xs
         cur = frame.astype(jnp.float32)
         if radius >= 1:
             def do_search(_):
+                if mode == "reuse":
+                    e, win = _eval_vectors(cur, back, py, px, th, tw, int16)
+                    return py, px, e, win
                 oy, ox, e, win = _motion_core(cur, back, radius, int16,
                                               rank_dims, return_windows=True)
                 return oy.reshape(N), ox.reshape(N), e.reshape(N), win
@@ -662,7 +707,8 @@ def _phase_b_scan(frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start,
 
     back0 = jnp.zeros((H, W, 3), jnp.float32)
     _, outs = jax.lax.scan(
-        step, back0, (frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start)
+        step, back0,
+        (frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start, pay, pax),
     )
     return outs
 
@@ -686,6 +732,8 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
     ke_dev = jnp.asarray(knn_err)
     hm_dev = jnp.asarray(tm.hmirror)
     vm_dev = jnp.asarray(tm.vmirror)
+    pay_dev = jnp.asarray(tm.pred_y.astype(np.int32))
+    pax_dev = jnp.asarray(tm.pred_x.astype(np.int32))
 
     def _bucket(n):
         # pow2 up to 64, then 64-multiples: bounds both the number of
@@ -733,8 +781,10 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
                 kt_dev[idx_dev], kp_dev[idx_dev], ke_dev[idx_dev],
                 hm_dev[idx_dev], vm_dev[idx_dev],
                 jnp.asarray(kf_start_v),
+                pay_dev[idx_dev], pax_dev[idx_dev],
                 pp_dev, pal_dev, R, th, tw,
                 settings.int16_features, settings.motion_rank_dims,
+                settings.phase_b_motion,
             )
             # one packed d2h per batch (each transfer pays tunnel latency);
             # psnr is computed on device in the same pass
