@@ -105,6 +105,8 @@ def main():
                                  epu_pal_k=16))
         rows.append(encode_point(frames, fps, ref_bps, "q=7+lzma_fast",
                                  lzma_mode="fast"))
+        rows.append(encode_point(frames, fps, ref_bps, "q=7+phaseb_research",
+                                 phase_b_motion="research"))
         rows.append(encode_point(frames, fps, ref_bps, "q=7+noskip",
                                  knn_skip_perfect_pred=False))
     print(json.dumps({"content": content, "ref_bps": ref_bps, "rows": rows}))

@@ -344,12 +344,14 @@ class GTMWriter:
                 payloads.append(bytes(z))
                 z = bytearray()
 
-        # per-keyframe LZMA streams are independent and the FORMAT even
-        # tolerates splitting one keyframe into several EOS-terminated
-        # streams (the player appends each decoded stream's buffers) — but
-        # this host has a single CPU, so chunk/thread parallelism only
-        # costs ratio (~7% at 512 KB chunks, measured); compress serially
-        # and rely on the native encoder's speed instead.
+        # ONE LZMA stream per keyframe: the reference player's
+        # unpackNextKeyframe shifts exactly one decoded stream per KF
+        # (gtm.player.js:229-248), so splitting a keyframe into several
+        # EOS-terminated streams desyncs it (verified against the verbatim
+        # player; our own reader is laxer). This host also has a single
+        # CPU, so thread parallelism buys nothing — compress serially and
+        # rely on the native encoder's speed (lzma_mode "fast" trades
+        # ~8-10% size for ~3x speed; "optimal" is the ratio default).
         comps = [lzma_codec.compress(p, lc=self.lc, mode=self.lzma_mode)
                  for p in payloads]
 

@@ -87,6 +87,21 @@ class EncodeState:
     kf_psnr: Optional[np.ndarray] = None  # per keyframe mean tile PSNR-HVS
     total_psnr: float = 0.0
 
+    # deferred ingest finalization (load with defer=True): pulls the
+    # packed mirror flags + correlations and runs keyframe detection.
+    # Deferring lets predict_motion DISPATCH its device work first, so
+    # the small load pull and the host-side keyframe loop overlap the
+    # motion compute already queued on the chip. Not serialized — the
+    # encoder finalizes before checkpointing.
+    _finalize_ingest: Optional[object] = field(default=None, repr=False)
+
+    def ensure_ingest(self):
+        """Run the deferred load finalization exactly once (idempotent)."""
+        fin = self._finalize_ingest
+        if fin is not None:
+            self._finalize_ingest = None
+            fin()
+
     @property
     def n_frames(self) -> int:
         return 0 if self.frames_rgb is None else len(self.frames_rgb)

@@ -64,13 +64,16 @@ class Encoder:
     def load_frames(self, frames_rgb: np.ndarray, fps: float = 24.0,
                     manual_keyframes=None):
         t0 = time.monotonic()
+        # defer=True: the host pulls + keyframe detection stay in a
+        # finalize closure that predict_motion runs AFTER dispatching its
+        # device work (ingest/compute overlap); every step below calls
+        # ensure_ingest() first so stepwise runs stay correct
         self.state = load_mod.load(
             EncodeState(), frames_rgb, fps, self.settings,
-            manual_keyframes=manual_keyframes,
+            manual_keyframes=manual_keyframes, defer=True,
         )
         self._stamp("load", t0)
-        kfs = self.state.keyframes
-        self.log(f"{self.state.n_frames} frames, {self.state.width}x{self.state.height} @ {fps:.3f} fps, {len(kfs)} keyframes")
+        self.log(f"{self.state.n_frames} frames, {self.state.width}x{self.state.height} @ {fps:.3f} fps")
         return self
 
     def load_video(self, path: Optional[str] = None):
@@ -92,10 +95,12 @@ class Encoder:
         with trace_step("predict_motion"):
             predict_mod.predict_motion(self.state, self.settings, mesh=self.mesh)
         self._stamp("predict_motion", t0)
+        self.log(f"{len(self.state.keyframes)} keyframes")
         return self
 
     def reduce(self):
         t0 = time.monotonic()
+        self.state.ensure_ingest()
         with trace_step("reduce"):
             reduce_mod.reduce_tiles(self.state, self.settings)
         self._stamp("reduce", t0)
@@ -104,6 +109,7 @@ class Encoder:
 
     def prepare_palettes(self):
         t0 = time.monotonic()
+        self.state.ensure_ingest()
         with trace_step("prepare_palettes"):
             palettes_mod.prepare_palettes(self.state, self.settings, mesh=self.mesh)
         self._stamp("prepare_palettes", t0)
@@ -111,6 +117,7 @@ class Encoder:
 
     def dither(self):
         t0 = time.monotonic()
+        self.state.ensure_ingest()
         with trace_step("dither"):
             dither_mod.dither(self.state, self.settings)
         self._stamp("dither", t0)
@@ -118,6 +125,7 @@ class Encoder:
 
     def reconstruct(self):
         t0 = time.monotonic()
+        self.state.ensure_ingest()
         with trace_step("reconstruct"):
             reconstruct_mod.reconstruct(self.state, self.settings, mesh=self.mesh)
         self._stamp("reconstruct", t0)
@@ -128,6 +136,7 @@ class Encoder:
 
     def reindex(self):
         t0 = time.monotonic()
+        self.state.ensure_ingest()
         with trace_step("reindex"):
             reindex_mod.reindex(self.state, self.settings)
         self._stamp("reindex", t0)
@@ -136,6 +145,7 @@ class Encoder:
 
     def save(self, path: Optional[str] = None):
         t0 = time.monotonic()
+        self.state.ensure_ingest()
         self.stats = save_mod.save(self.state, self.settings, path or self.settings.output_file_name)
         self._stamp("save", t0)
         s = self.stats
@@ -213,6 +223,7 @@ class Encoder:
 
         import jax
 
+        self.state.ensure_ingest()  # the finalize closure isn't picklable
         st = self.state
         for fld in dataclasses.fields(st):
             v = getattr(st, fld.name)

@@ -6,6 +6,14 @@ AsyncLoadFromImage, tilingencoder.pas:1293-1427) with batched device ops:
 tile scatter is a reshape, the mirror heuristic and per-tile mean-LAB
 vectors are one batched pass, and the sequential Pearson-correlation chain
 becomes one vectorized correlation over consecutive frame pairs.
+
+Ingest/compute overlap (the reference's bounded-lookahead decode pipeline,
+tilingencoder.pas:1323-1326): frames go up in PIECES whose h2d transfers
+are all dispatched up front — they stream on the transfer path while the
+tile pass of earlier pieces runs — and the only host pulls (bit-packed
+mirror flags + correlations, ~N/4 bytes per frame) are DEFERRED into a
+finalize closure that the motion step runs after dispatching its own
+device work, so the pull and the keyframe loop hide under queued compute.
 """
 from __future__ import annotations
 
@@ -26,14 +34,14 @@ TILE_W = 8
 
 @jax.jit
 def _load_chunk(frames):
-    """frames [B, H, W, 3] uint8 -> (tiles_canon uint8, packed f32 [B, N, 4]
-    = (hmir, vmir, correlation broadcast, spare)).
+    """frames [B, H, W, 3] uint8 -> (tiles_canon uint8 [B, N, 8, 8, 3],
+    flags uint8 [B, N] = hmirror | vmirror<<1, corr f32 [B]).
 
     mean_lab is computed on the ORIGINAL orientation (PrepareInterFrameData
     runs before the mirror pass, tilingencoder.pas:1379 vs :1393). The
-    Pearson chain runs ON DEVICE and only [B] correlations + the mirror
-    flags cross to the host in ONE packed transfer (tunnel round trips
-    dominate small pulls)."""
+    Pearson chain runs ON DEVICE and only the [B] correlations + the
+    bit-packed mirror flags cross to the host, in ONE deferred transfer
+    (tunnel round trips dominate small pulls)."""
     B, H, W, _ = frames.shape
     t = frames.reshape(B, H // TILE_W, TILE_W, W // TILE_W, TILE_W, 3)
     t = t.transpose(0, 1, 3, 2, 4, 5).reshape(B, -1, TILE_W, TILE_W, 3)
@@ -44,78 +52,12 @@ def _load_chunk(frames):
     corr = jnp.ones(B, jnp.float32)
     if B > 1:
         corr = corr.at[1:].set(pearson(lab_flat[:-1], lab_flat[1:], axis=-1))
-    packed = jnp.stack(
-        [hm.astype(jnp.float32), vm.astype(jnp.float32)], axis=-1
-    )  # [B, N, 2]
-    return canon.astype(jnp.uint8), packed, corr
+    flags = hm.astype(jnp.uint8) | (vm.astype(jnp.uint8) << 1)
+    return canon.astype(jnp.uint8), flags, corr
 
 
-def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
-         settings: EncoderSettings, chunk: int = 32,
-         manual_keyframes: Optional[List[int]] = None) -> EncodeState:
-    """Populate load-stage state from raw frames [F, H, W, 3] uint8.
-
-    Large arrays (frames, canonical tiles) stay DEVICE-resident — the
-    host keeps only mirror flags, correlations and keyframe metadata
-    (host<->device bandwidth is the scarce resource; SURVEY.md maps the
-    reference's zlib in-RAM frame compression to HBM residency).
-    """
-    frames_rgb = np.ascontiguousarray(frames_rgb)
-    if frames_rgb.shape[1] % TILE_W or frames_rgb.shape[2] % TILE_W:
-        frames_rgb = np.stack([pad_frame(f) for f in frames_rgb])
-    F, H, W, _ = frames_rgb.shape
-    state.fps = float(fps)
-    state.tilemap_h = H // TILE_W
-    state.tilemap_w = W // TILE_W
-    N = state.tilemap_size
-
-    # videos beyond the HBM budget stream from host RAM instead (the
-    # reference's zlib in-RAM memory folding, tilingencoder.pas:1081-1152;
-    # stages slice and transfer per chunk / per keyframe)
-    total_bytes = frames_rgb.nbytes + F * N * 192
-    device_resident = total_bytes <= getattr(settings, "hbm_frames_budget", 8e9)
-    if device_resident:
-        state.frames_rgb = jnp.asarray(frames_rgb)  # one h2d
-    else:
-        state.frames_rgb = frames_rgb
-
-    tiles_parts = []
-    hm = np.empty((F, N), bool)
-    vm = np.empty((F, N), bool)
-    # inter-frame Pearson correlation (tilingencoder.pas:1385-1388, :2201)
-    # computed on device inside _load_chunk; chunks overlap by one frame so
-    # the chain stays exact across chunk boundaries
-    corr = np.ones(F, np.float32)
-    if device_resident:
-        # one dispatch when the fp32 transients fit: _load_chunk stages
-        # ~6 frame-sized fp32 arrays (tf/lab/canon + fusion slack), so an
-        # unbounded chunk near the 8e9 frame budget could blow HBM —
-        # bound the transients to ~2 GB and let the packed per-chunk pull
-        # amortize the tunnel latency beyond that
-        per_frame_transient = frames_rgb.shape[1] * frames_rgb.shape[2] * 3 * 4 * 6
-        chunk = max(1, min(F, int(2e9 / per_frame_transient)))
-    for i in range(0, F, chunk):
-        lo = max(0, i - 1)  # 1-frame overlap for the correlation chain
-        tc, packed, c = _load_chunk(jnp.asarray(state.frames_rgb[lo : i + chunk]))
-        skip = i - lo
-        packed_h = np.asarray(packed[skip:])  # one transfer per chunk
-        tc = tc[skip:]
-        tiles_parts.append(tc if device_resident else np.asarray(tc))
-        hm[i : i + chunk] = packed_h[..., 0] != 0.0
-        vm[i : i + chunk] = packed_h[..., 1] != 0.0
-        corr[i : i + chunk] = np.asarray(c)[skip:]
-    if F > 0:
-        corr[0] = 1.0
-
-    cat = jnp.concatenate if device_resident else np.concatenate
-    state.tiles_canon = tiles_parts[0] if len(tiles_parts) == 1 else cat(tiles_parts)
-    tm = TileMapSoA.zeros(F, N)
-    tm.hmirror = hm
-    tm.vmirror = vm
-    state.tilemap = tm
-    state.correlations = corr
-
-    # keyframe detection (FindKeyFrames, tilingencoder.pas:3361-3433)
+def _detect_keyframes(F, corr, fps, settings, manual_keyframes):
+    """FindKeyFrames parity (tilingencoder.pas:3361-3433)."""
     kf_flags = np.zeros(F, bool)
     if manual_keyframes is not None:
         kf_flags[0] = True
@@ -142,12 +84,113 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
                 kf_flags[i] = True
                 reasons[i] = reason
                 last_kf = i
+    return kf_flags, reasons
 
-    kf_idx = np.cumsum(kf_flags) - 1
-    state.frame_kf = kf_idx.astype(np.int32)
-    state.keyframes = []
-    starts = np.flatnonzero(kf_flags)
-    for k, s in enumerate(starts):
-        e = (starts[k + 1] - 1) if k + 1 < len(starts) else F - 1
-        state.keyframes.append(KeyFrameInfo(k, int(s), int(e), reasons.get(int(s), "manual")))
+
+def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
+         settings: EncoderSettings,
+         manual_keyframes: Optional[List[int]] = None,
+         defer: bool = False) -> EncodeState:
+    """Populate load-stage state from raw frames [F, H, W, 3] uint8.
+
+    Large arrays (frames, canonical tiles) stay DEVICE-resident — the
+    host keeps only mirror flags, correlations and keyframe metadata
+    (host<->device bandwidth is the scarce resource; SURVEY.md maps the
+    reference's zlib in-RAM frame compression to HBM residency).
+
+    defer=True leaves the host pulls + keyframe detection in
+    state._finalize_ingest (see module docstring); every downstream
+    consumer of keyframes/flags calls state.ensure_ingest() first.
+    """
+    frames_rgb = np.ascontiguousarray(frames_rgb)
+    if frames_rgb.shape[1] % TILE_W or frames_rgb.shape[2] % TILE_W:
+        frames_rgb = np.stack([pad_frame(f) for f in frames_rgb])
+    F, H, W, _ = frames_rgb.shape
+    state.fps = float(fps)
+    state.tilemap_h = H // TILE_W
+    state.tilemap_w = W // TILE_W
+    N = state.tilemap_size
+
+    # videos beyond the HBM budget stream from host RAM instead (the
+    # reference's zlib in-RAM memory folding, tilingencoder.pas:1081-1152;
+    # stages slice and transfer per chunk / per keyframe)
+    total_bytes = frames_rgb.nbytes + F * N * 192
+    device_resident = total_bytes <= getattr(settings, "hbm_frames_budget", 8e9)
+
+    # piece size: bounds the fp32 tile-pass transients (~6 frame-sized
+    # fp32 arrays) to ~2 GB AND keeps several h2d transfers in flight so
+    # the tile pass of piece i overlaps the transfer of piece i+1
+    per_frame_transient = H * W * 3 * 4 * 6
+    piece = max(1, min(F, int(2e9 / per_frame_transient), max(4, F // 4)))
+
+    # jnp.asarray (NOT device_put-to-a-device): the transfer dispatches
+    # immediately either way, but an explicit device pin would COMMIT the
+    # array and poison later multi-device (mesh) programs that need to
+    # re-shard it
+    starts = list(range(0, F, piece))
+    put = lambda i: jnp.asarray(frames_rgb[starts[i] : starts[i] + piece])
+    if device_resident:
+        # all transfers dispatched up front; they stream while compute runs
+        pieces = [put(i) for i in range(len(starts))]
+        get = pieces.__getitem__
+    else:
+        # host-RAM streaming: only a 1-piece lookahead lives on device
+        # (the whole video would blow the HBM budget this mode exists for)
+        window = {0: put(0)}
+
+        def get(i):
+            if i + 1 < len(starts):
+                window[i + 1] = put(i + 1)
+            return window.pop(i)
+
+    tiles_parts, flag_parts, corr_parts = [], [], []
+    prev_tail = None
+    for pi in range(len(starts)):
+        p = get(pi)
+        # 1-frame overlap keeps the on-device Pearson chain exact across
+        # piece boundaries (tilingencoder.pas:1385-1388, :2201)
+        inp = p if prev_tail is None else jnp.concatenate([prev_tail, p])
+        skip = 0 if prev_tail is None else 1
+        tc, fl, c = _load_chunk(inp)
+        tiles_parts.append(tc[skip:] if device_resident else np.asarray(tc[skip:]))
+        flag_parts.append(fl[skip:])
+        corr_parts.append(c[skip:])
+        prev_tail = p[-1:]
+
+    if device_resident:
+        state.frames_rgb = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+    else:
+        state.frames_rgb = frames_rgb
+    cat = jnp.concatenate if device_resident else np.concatenate
+    state.tiles_canon = tiles_parts[0] if len(tiles_parts) == 1 else cat(tiles_parts)
+    flags_dev = flag_parts[0] if len(flag_parts) == 1 else jnp.concatenate(flag_parts)
+    corr_dev = corr_parts[0] if len(corr_parts) == 1 else jnp.concatenate(corr_parts)
+
+    tm = TileMapSoA.zeros(F, N)
+    state.tilemap = tm
+
+    def _finalize():
+        flags = np.asarray(flags_dev)  # one small pull (N/4 bytes/frame)
+        corr = np.asarray(corr_dev).copy()
+        if F > 0:
+            corr[0] = 1.0
+        tm.hmirror = (flags & 1) != 0
+        tm.vmirror = (flags & 2) != 0
+        state.correlations = corr
+
+        kf_flags, reasons = _detect_keyframes(
+            F, corr, fps, settings, manual_keyframes)
+        kf_idx = np.cumsum(kf_flags) - 1
+        state.frame_kf = kf_idx.astype(np.int32)
+        state.keyframes = []
+        starts = np.flatnonzero(kf_flags)
+        for k, s in enumerate(starts):
+            e = (starts[k + 1] - 1) if k + 1 < len(starts) else F - 1
+            state.keyframes.append(
+                KeyFrameInfo(k, int(s), int(e), reasons.get(int(s), "manual")))
+
+    if defer:
+        state._finalize_ingest = _finalize
+    else:
+        _finalize()
     return state

@@ -63,6 +63,7 @@ def predict_motion(state: EncodeState, settings: EncoderSettings,
     R = settings.motion_predict_radius
     F = state.n_frames
     if F == 0 or R <= 0 or F < 2:
+        state.ensure_ingest()
         return state
     tm = state.tilemap
     N = state.tilemap_size
@@ -78,6 +79,9 @@ def predict_motion(state: EncodeState, settings: EncoderSettings,
             jnp.asarray(frames[i:j]), jnp.asarray(frames[refs[i:j]]), R,
             settings.int16_features, settings.motion_rank_dims,
         ))
+    # run the deferred load finalization (small flag/corr pull + host
+    # keyframe loop) while the motion programs just dispatched crunch
+    state.ensure_ingest()
     packed = np.asarray(outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1))
     tm.pred_y[:] = ((packed[0] >> 16) & 0xFFFF).astype(np.int32) - 32768
     tm.pred_x[:] = (packed[0] & 0xFFFF).astype(np.int32) - 32768
@@ -93,6 +97,7 @@ def _predict_motion_dp(state, settings, mesh, frames, refs, R):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    state.ensure_ingest()
     F = state.n_frames
     N = state.tilemap_size
     dd = mesh.shape["data"]
