@@ -52,8 +52,10 @@ class EncoderSettings:
     kmeans_iters: int = 30
     corpus_chunk: int = 8192  # corpus matmul chunk for KNN
     seed: int = 0x42381337  # CRandomSeed (extern.pas:226)
-    epu_pal_k: int = 0  # 0 = full cartesian (reference parity); >0 caps
-    # the EPU palette candidates to the top-k tiles' palettes
+    epu_pal_k: int = 16  # caps the EPU palette candidates to the top-k
+    # tiles' palettes; 0 = full cartesian (reference parity). 16 is
+    # BYTE-IDENTICAL to full at q=7 on city (docs/PARITY.md A/B) and
+    # quarters the cartesian re-rank
     color_quantizer: str = "kmeans"  # per-palette color quantizer:
     # "kmeans" (yakmo parity) or "mediancut" (the dlquant DL1/DL3 role,
     # extern.pas:195-196 — deterministic box cuts, host-side)
