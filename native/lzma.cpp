@@ -15,8 +15,9 @@
 //   depth < 0: price-based optimal parse (windowed DP), hash-4 chains of
 //              depth |depth| — the ratio mode (~0.52 on GTM payloads).
 //   depth > 0: LzmaEnc-GetOptimumFast-style lazy greedy over a hash-5
-//              chain finder with a closest-4 probe — the throughput mode
-//              (~2.2x faster at ~1.04x the optimal size).
+//              chain finder — the throughput mode (~4x faster at ~1.04x
+//              the optimal size; branchless range coder, prefetched
+//              chain inserts).
 //
 // C ABI for ctypes:
 //   gtm_lzma_compress(in, in_len, out, out_cap, lc, lp, pb, dict, depth)
@@ -44,20 +45,46 @@ constexpr u32 kMaxLen = 273;
 // Range encoder
 // ---------------------------------------------------------------------------
 struct RangeEncoder {
-  std::vector<u8>* out;
+  // Raw-pointer output window into a caller-owned vector: push_back's
+  // size check + indirect store per byte was measurable at ~40
+  // cycles/output-bit whole-encoder cost; the grow() spill path keeps
+  // the worst-case (output > reserved) correct without per-byte vector
+  // bookkeeping.
+  std::vector<u8>* vec = nullptr;
+  u8* op = nullptr;
+  u8* oend = nullptr;
   u64 low = 0;
   u32 range = 0xFFFFFFFFu;
   u8 cache = 0;
   u64 cache_size = 1;
 
+  // Reserve `expect` bytes past the vector's current end and point the
+  // write cursor there. finish() trims back to what was written.
+  void attach(std::vector<u8>& v, size_t expect) {
+    vec = &v;
+    size_t base = v.size();
+    v.resize(base + expect + 4096);
+    op = v.data() + base;
+    oend = v.data() + v.size() - 16;
+  }
+  void finish() { vec->resize((size_t)(op - vec->data())); }
+
+  __attribute__((noinline, cold)) void grow() {
+    size_t used = (size_t)(op - vec->data());
+    vec->resize(vec->size() + vec->size() / 2 + 4096);
+    op = vec->data() + used;
+    oend = vec->data() + vec->size() - 16;
+  }
+  inline void put(u8 b) {
+    if (__builtin_expect(op >= oend, 0)) grow();
+    *op++ = b;
+  }
+
   void shift_low() {
     if ((u32)low < 0xFF000000u || (low >> 32) != 0) {
       u8 carry = (u8)(low >> 32);
-      u8 temp = cache;
-      do {
-        out->push_back((u8)(temp + carry));
-        temp = 0xFF;
-      } while (--cache_size);
+      put((u8)(cache + carry));
+      while (--cache_size) put((u8)(0xFF + carry));
       cache = (u8)(low >> 24);
     }
     cache_size++;
@@ -66,16 +93,18 @@ struct RangeEncoder {
   }
 
   void encode_bit(u16* probs, int idx, int bit) {
-    u16 p = probs[idx];
+    // Branchless select: coded bits carry the payload's real entropy, so
+    // the 0/1 branch mispredicts roughly at the compression ratio and
+    // cost ~15 cycles/bit on this Xeon; arithmetic masking removes it.
+    u32 p = probs[idx];
     u32 bound = (range >> 11) * p;
-    if (!bit) {
-      range = bound;
-      probs[idx] = (u16)(p + ((2048 - p) >> kNumMoveBits));
-    } else {
-      low += bound;
-      range -= bound;
-      probs[idx] = (u16)(p - (p >> kNumMoveBits));
-    }
+    u32 mask = (u32)(-(int32_t)(bit != 0));
+    low += (u64)(bound & mask);
+    // bit==0 -> bound; bit==1 -> range - bound (mod 2^32 arithmetic)
+    range = bound + ((range - (bound << 1)) & mask);
+    u32 d0 = (2048 - p) >> kNumMoveBits;
+    u32 d1 = p >> kNumMoveBits;
+    probs[idx] = (u16)(p + d0 - ((d0 + d1) & mask));
     if (range < kTop) {
       range <<= 8;
       shift_low();
@@ -257,19 +286,16 @@ struct Encoder {
 #endif
   static constexpr int kHash5Bits = GTM_H5BITS;
   std::vector<int32_t> head5;
-  std::vector<int32_t> head4;
 
   // hide the table/candidate misses of the NEXT find under the current
   // token's range-coder work (the finder is ~50% cache-miss stalls)
   void prefetch_find(const u8* data, size_t n, size_t pos) {
     if (pos + 5 > n) return;
     int32_t c5 = head5[hash5(data + pos)];
-    int32_t c4 = head4[hash4(data + pos)];
     if (c5 >= 0) {
       __builtin_prefetch(data + c5);
       __builtin_prefetch(&prevp[c5]);
     }
-    if (c4 >= 0) __builtin_prefetch(data + c4);
   }
 
   Encoder(int lc_, int lp_, int pb_, int depth_)
@@ -476,12 +502,20 @@ struct Encoder {
   }
 
   void insert_fast(const u8* data, size_t n, size_t pos) {
-    if (pos + 4 > n) return;
-    head4[hash4(data + pos)] = (int32_t)pos;
     if (pos + 5 > n) return;
     u32 h = hash5(data + pos);
     prevp[pos] = head5[h];
     head5[h] = (int32_t)pos;
+  }
+
+  // insert [lo,hi) into the hash-5 chains, prefetching the head slots a
+  // few positions ahead (each insert is a random RMW on a 4MB table)
+  void insert_run(const u8* data, size_t n, size_t lo, size_t hi) {
+    if (hi > n) hi = n;
+    for (size_t p = lo; p < hi; p++) {
+      if (p + 9 <= n) __builtin_prefetch(&head5[hash5(data + p + 4)], 1);
+      insert_fast(data, n, p);
+    }
   }
 
   // fast-mode best match: closest 4-gram probe, then the hash-5 chain;
@@ -492,14 +526,9 @@ struct Encoder {
     best_dist = 0;
     if (pos + 4 > n) return;
     u32 maxl = (u32)((n - pos < kMaxLen) ? (n - pos) : kMaxLen);
-    int32_t c4 = head4[hash4(data + pos)];
-    if (c4 >= 0) {
-      u32 l = extend(data + pos, data + c4, maxl);
-      if (l >= 2) {
-        best_len = l;
-        best_dist = (u32)(pos - c4 - 1);
-      }
-    }
+    // no closest-4 probe: measured on real GTM payloads it was ~18% of
+    // parse time AND grew output ~1.4% — the len-2/3 near matches it
+    // surfaces price worse than literals under the adapted model
     if (pos + 5 <= n && best_len < nice_len) {
       int32_t cand = head5[hash5(data + pos)];
       int d = depth;
@@ -726,7 +755,7 @@ struct Encoder {
 
     prevp.assign(n, -1);
     RangeEncoder rc;
-    rc.out = &out;
+    rc.attach(out, n + n / 8);
 
     constexpr int W = 2048;
     constexpr u32 kFastEmit = 128;  // LzmaEnc numFastBytes analog: a match
@@ -929,6 +958,7 @@ struct Encoder {
     len_c.encode(rc, kMinLen, ps);
     encode_dist(rc, 0xFFFFFFFFu, kMinLen);
     rc.flush();
+    rc.finish();
     return out.size();
   }
 
@@ -943,9 +973,8 @@ struct Encoder {
 
     prevp.assign(n, -1);
     head5.assign(1 << kHash5Bits, -1);
-    head4.assign(1 << kHashBits, -1);
     RangeEncoder rc;
-    rc.out = &out;
+    rc.attach(out, n + n / 8);
 
     constexpr u32 kNiceLen = 64;  // numFastBytes: a match this long is
     // taken immediately and the chain walk stops early
@@ -955,6 +984,12 @@ struct Encoder {
     u32 cached_len = 0, cached_dist = 0;
     while (pos < n) {
       u32 pos_state = (u32)pos & pb_mask;
+      // prefetch the lazy-probe hash entries for pos+1: the parse is
+      // L3-latency-bound (hash heads + chain links are random 4-16MB
+      // accesses), and the probe at pos+1 is almost always taken
+      if (pos + 6 <= n) {
+        __builtin_prefetch(&head5[hash5(data + pos + 1)]);
+      }
 
       // rep candidates, first-byte prefiltered (a full extend per rep per
       // position was ~a third of greedy time on tile runs)
@@ -1015,8 +1050,7 @@ struct Encoder {
           pos += 1;
           continue;
         }
-        for (size_t p2 = pos + 1; p2 < pos + cur_len && p2 < n; p2++)
-          insert_fast(data, n, p2);
+        insert_run(data, n, pos + 1, pos + cur_len);
         prefetch_find(data, n, pos + cur_len);
         if (use_rep) {
           encode_rep(rc, pos_state, best_rep, best_rep_len);
@@ -1028,8 +1062,7 @@ struct Encoder {
       }
       if (use_match || use_rep) {
         insert_fast(data, n, pos);
-        for (size_t p2 = pos + 1; p2 < pos + cur_len && p2 < n; p2++)
-          insert_fast(data, n, p2);
+        insert_run(data, n, pos + 1, pos + cur_len);
         prefetch_find(data, n, pos + cur_len);
         if (use_rep) {
           encode_rep(rc, pos_state, best_rep, best_rep_len);
@@ -1058,6 +1091,7 @@ struct Encoder {
     len_c.encode(rc, kMinLen, pos_state);
     encode_dist(rc, 0xFFFFFFFFu, kMinLen);
     rc.flush();
+    rc.finish();
     return out.size();
   }
 };
