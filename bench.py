@@ -47,6 +47,41 @@ def synthetic_clip(F, H, W, seed=0):
     return np.stack(frames)
 
 
+DEMO_GTM = "/root/reference/docs/demo/city_cif.gtm"
+
+
+def realistic_clip(F, H, W):
+    """Real-content bench input: the reference's own city_cif demo decoded
+    and bilinearly upscaled to the bench resolution. VERDICT r02 weak #8:
+    the synthetic clip's exact np.roll motion makes half the field
+    zero-error ties; this point keeps fps/PSNR trends honest on real
+    content. Returns None when the reference demos are unavailable."""
+    if not os.path.exists(DEMO_GTM):
+        return None
+    from tiler_tpu.bitstream.gtm import GTMDecoder
+    dec = GTMDecoder(DEMO_GTM)
+    frames = []
+    for i, fr in enumerate(dec.decode_frames()):
+        if i >= F:
+            break
+        frames.append(fr[..., :3])
+    src = np.stack(frames).astype(np.float32)  # [F, 288, 352, 3]
+    sh, sw = src.shape[1], src.shape[2]
+    fy = (np.arange(H) + 0.5) * sh / H - 0.5
+    fx = (np.arange(W) + 0.5) * sw / W - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int32), 0, sh - 2)
+    x0 = np.clip(np.floor(fx).astype(np.int32), 0, sw - 2)
+    wy = (fy - y0)[None, :, None, None]
+    wx = (fx - x0)[None, None, :, None]
+    a = src[:, y0][:, :, x0]
+    b = src[:, y0][:, :, x0 + 1]
+    c = src[:, y0 + 1][:, :, x0]
+    d = src[:, y0 + 1][:, :, x0 + 1]
+    up = (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+          + c * wy * (1 - wx) + d * wy * wx)
+    return np.clip(np.round(up), 0, 255).astype(np.uint8)
+
+
 def main():
     import jax
 
@@ -108,21 +143,44 @@ def main():
         f"PSNR-HVS {enc.state.total_psnr:.2f} dB | {enc.stats.total_bytes} bytes"
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": f"encode_fps_{H}p",
-                "value": round(fps, 4),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 30.0, 5),
-                "settings": {"palette_count": P, "epu_knn_k": EK,
-                             "frames": F, "w": W, "h": H},
-                "steady_steps_s": steps,
-                "psnr_hvs_db": round(enc.state.total_psnr, 3),
-                "bytes": enc.stats.total_bytes,
-            }
+    result = {
+        "metric": f"encode_fps_{H}p",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 5),
+        "settings": {"palette_count": P, "epu_knn_k": EK,
+                     "frames": F, "w": W, "h": H},
+        "steady_steps_s": steps,
+        "psnr_hvs_db": round(enc.state.total_psnr, 3),
+        "bytes": enc.stats.total_bytes,
+    }
+
+    # secondary point: real content (city_cif demo upscaled to bench res)
+    real = realistic_clip(F, H, W)
+    if real is not None:
+        enc3 = Encoder(settings, log=lambda *a: None)
+        enc3.run_all(real, fps=25.0, out_path=out)  # warmup (data-dep shapes)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            enc3 = Encoder(settings, log=lambda *a: None)
+            enc3.run_all(real, fps=25.0, out_path=out)
+            wall = time.time() - t0
+            if best is None or wall < best:
+                best = wall
+        log(
+            f"realistic (city upscaled): {best:.1f}s = {F/best:.3f} fps | "
+            f"PSNR-HVS {enc3.state.total_psnr:.2f} dB | "
+            f"{enc3.stats.total_bytes} bytes"
         )
-    )
+        result["realistic"] = {
+            "content": "city_cif upscaled",
+            "fps": round(F / best, 4),
+            "psnr_hvs_db": round(enc3.state.total_psnr, 3),
+            "bytes": enc3.stats.total_bytes,
+        }
+
+    print(json.dumps(result))
 
 
 def _supervised():

@@ -95,6 +95,16 @@ class EncodeState:
     # encoder finalizes before checkpointing.
     _finalize_ingest: Optional[object] = field(default=None, repr=False)
 
+    # pipelined ingest (load with defer=True, device-resident): the
+    # per-piece device arrays (frame_pieces, tile_pieces) BEFORE the
+    # frames_rgb/tiles_canon concats. predict_motion consumes pieces
+    # directly, so its per-piece programs start as soon as each piece's
+    # h2d lands — the remaining transfers stream underneath (the
+    # reference's bounded-lookahead decode pipeline,
+    # tilingencoder.pas:1323-1326). ensure_ingest() materializes the
+    # concats for every later stage.
+    _ingest_pieces: Optional[tuple] = field(default=None, repr=False)
+
     def ensure_ingest(self):
         """Run the deferred load finalization exactly once (idempotent)."""
         fin = self._finalize_ingest
@@ -104,7 +114,11 @@ class EncodeState:
 
     @property
     def n_frames(self) -> int:
-        return 0 if self.frames_rgb is None else len(self.frames_rgb)
+        if self.frames_rgb is None:
+            if self._ingest_pieces is not None:
+                return sum(int(p.shape[0]) for p in self._ingest_pieces[0])
+            return 0
+        return len(self.frames_rgb)
 
     @property
     def tilemap_size(self) -> int:

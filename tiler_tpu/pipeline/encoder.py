@@ -247,9 +247,13 @@ class Encoder:
             # crediting device-resident outputs to the consuming step)
             import jax
 
-            jax.block_until_ready(
-                [v for v in vars(self.state).values() if isinstance(v, jax.Array)]
-            )
+            arrs = []
+            for v in vars(self.state).values():
+                if isinstance(v, jax.Array):
+                    arrs.append(v)
+                elif isinstance(v, (list, tuple)):  # _ingest_pieces
+                    arrs.extend(jax.tree_util.tree_leaves(v))
+            jax.block_until_ready(arrs)
         dt = time.monotonic() - t0
         self.timings[step] = dt
         self.log(f"[{step}] {dt:.3f}s")

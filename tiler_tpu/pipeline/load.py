@@ -157,12 +157,27 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
         corr_parts.append(c[skip:])
         prev_tail = p[-1:]
 
-    if device_resident:
+    # pipelined ingest: with defer=True the frame/tile concats stay OUT of
+    # the dispatch stream, exposing per-piece arrays so predict_motion's
+    # programs can start on piece 0 while pieces 1..n still stream over
+    # h2d (a concat is one op needing ALL pieces — a hard barrier that
+    # measured as the whole load step serializing in front of motion).
+    # Pieces need >= 2 leading frames for the frame-0-predicts-frame-1
+    # special case to stay within piece 0.
+    pipelined = (
+        defer and device_resident and len(tiles_parts) > 1 and piece >= 2
+    )
+    if pipelined:
+        state.frames_rgb = None
+        state.tiles_canon = None
+        state._ingest_pieces = (pieces, tiles_parts)
+    elif device_resident:
         state.frames_rgb = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
     else:
         state.frames_rgb = frames_rgb
     cat = jnp.concatenate if device_resident else np.concatenate
-    state.tiles_canon = tiles_parts[0] if len(tiles_parts) == 1 else cat(tiles_parts)
+    if not pipelined:
+        state.tiles_canon = tiles_parts[0] if len(tiles_parts) == 1 else cat(tiles_parts)
     flags_dev = flag_parts[0] if len(flag_parts) == 1 else jnp.concatenate(flag_parts)
     corr_dev = corr_parts[0] if len(corr_parts) == 1 else jnp.concatenate(corr_parts)
 
@@ -170,6 +185,11 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
     state.tilemap = tm
 
     def _finalize():
+        if state._ingest_pieces is not None:
+            fp, tp = state._ingest_pieces
+            state._ingest_pieces = None
+            state.frames_rgb = fp[0] if len(fp) == 1 else jnp.concatenate(fp)
+            state.tiles_canon = tp[0] if len(tp) == 1 else jnp.concatenate(tp)
         flags = np.asarray(flags_dev)  # one small pull (N/4 bytes/frame)
         corr = np.asarray(corr_dev).copy()
         if F > 0:

@@ -67,18 +67,47 @@ def predict_motion(state: EncodeState, settings: EncoderSettings,
         return state
     tm = state.tilemap
     N = state.tilemap_size
-    frames = state.frames_rgb
     refs = np.concatenate([[1], np.arange(F - 1)])  # frame 0 predicts from 1
     if mesh is not None and mesh.shape.get("data", 1) > 1:
-        return _predict_motion_dp(state, settings, mesh, frames, refs, R)
-    chunk = _frame_chunk(state.height, state.width)
+        state.ensure_ingest()
+        return _predict_motion_dp(state, settings, mesh, state.frames_rgb,
+                                  refs, R)
+    pieces = state._ingest_pieces[0] if state._ingest_pieces else None
     outs = []
-    for i in range(0, F, chunk):
-        j = min(F, i + chunk)
-        outs.append(_motion_packed(
-            jnp.asarray(frames[i:j]), jnp.asarray(frames[refs[i:j]]), R,
-            settings.int16_features, settings.motion_rank_dims,
-        ))
+    if pieces is not None:
+        # pipelined ingest: each piece's search program depends only on
+        # that piece (+ the previous piece's last frame), so piece p's
+        # motion runs on the chip while pieces p+1.. are still in flight
+        # on the h2d stream — the load transfer hides under motion compute
+        # instead of serializing in front of it. Ragged tails pad to the
+        # leading piece size by repeating the last frame (one compile
+        # class; the padded rows are sliced off on the host).
+        B = int(pieces[0].shape[0])
+        prev_tail = None
+        for p, fp in enumerate(pieces):
+            b = int(fp.shape[0])
+            if p == 0:
+                prev = jnp.concatenate([fp[1:2], fp[:-1]])
+            else:
+                prev = jnp.concatenate([prev_tail, fp[:-1]])
+            prev_tail = fp[-1:]
+            if b < B:  # ragged tail
+                pad = jnp.broadcast_to(fp[-1:], (B - b,) + fp.shape[1:])
+                fp = jnp.concatenate([fp, pad])
+                prev = jnp.concatenate([prev, pad])
+            outs.append(_motion_packed(
+                fp, prev, R, settings.int16_features,
+                settings.motion_rank_dims,
+            )[:, :b])
+    else:
+        frames = state.frames_rgb
+        chunk = _frame_chunk(state.height, state.width)
+        for i in range(0, F, chunk):
+            j = min(F, i + chunk)
+            outs.append(_motion_packed(
+                jnp.asarray(frames[i:j]), jnp.asarray(frames[refs[i:j]]), R,
+                settings.int16_features, settings.motion_rank_dims,
+            ))
     # run the deferred load finalization (small flag/corr pull + host
     # keyframe loop) while the motion programs just dispatched crunch
     state.ensure_ingest()
