@@ -160,21 +160,9 @@ def quantization(state: EncodeState, settings: EncoderSettings,
             ]
         ).astype(np.float64)
     else:
-        def packed(colors, weights, seeds, npix_d):
-            def one(colors, weights, seed):
-                c, _, _ = _kmeans_small(colors, weights, S,
-                                        settings.kmeans_iters, seed)
-                return c
-
-            c = jax.vmap(one)(colors, weights, seeds)  # [P, S, 3]
-            # one packed d2h: centroids + member-pixel counts
-            return jnp.concatenate(
-                [c.reshape(P, S * 3), npix_d[:, None].astype(jnp.float32)],
-                axis=1,
-            )
-
         seeds = jnp.arange(P) + settings.seed
-        out = np.asarray(jax.jit(packed)(cols, wts, seeds, npix_d))
+        out = np.asarray(_kmeans_small_batch_packed(
+            cols, wts, seeds, npix_d, S, settings.kmeans_iters))
         cents = out[:, : S * 3].reshape(P, S, 3)
         npix = out[:, S * 3].astype(np.int64)
 
@@ -202,29 +190,51 @@ def quantization(state: EncodeState, settings: EncoderSettings,
     return state
 
 
-def _kmeans_small(points, weights, k, iters, seed):
-    """Weighted k-means for small per-palette color sets (vmappable)."""
-    key = jax.random.PRNGKey(seed)
-    n = points.shape[0]
-    g = jax.random.gumbel(key, (n,))
-    keys_ = jnp.where(weights > 0, jnp.log(jnp.maximum(weights, 1e-30)), -jnp.inf) + g
-    _, idx = jax.lax.top_k(keys_, k)
-    cents = points[idx]
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _kmeans_small_batch_packed(colors, weights, seeds, npix_d, k: int,
+                               iters: int):
+    """All P per-palette k-means in one program, colors-last layout.
+
+    colors [P, n, 3], weights [P, n] (0/1 valid mask), seeds [P].
+    Returns [P, k*3 + 1] f32: centroids + member-pixel count packed for
+    ONE d2h.
+
+    Weighted Lloyd per palette (yakmo role, tilingencoder.pas:4458-4481):
+    weighted-gumbel sample init, lowest-index argmin ties, exact weighted
+    means. Batched over P with the n axis on VECTOR LANES: the previous
+    vmapped [n, k] formulation put k=16 on the 128-wide lane axis (12%
+    use) and measured 7-8 ms per Lloyd iteration at P=1024, n=2048; this
+    [P, k, n] layout runs the distance/one-hot tensors at HBM rate."""
+    P, n, _ = colors.shape
+    # identical init draws: per-palette fold_in'd gumbel keys
+    g = jax.vmap(lambda s: jax.random.gumbel(jax.random.PRNGKey(s), (n,)))(seeds)
+    keyv = jnp.where(weights > 0,
+                     jnp.log(jnp.maximum(weights, 1e-30)), -jnp.inf) + g
+    _, idx = jax.lax.top_k(keyv, k)  # [P, k]
+    cents = jnp.take_along_axis(colors, idx[:, :, None], axis=1)  # [P, k, 3]
+
+    colsT = colors.transpose(0, 2, 1)  # [P, 3, n] — n on lanes
+    x2 = jnp.sum(colsT * colsT, axis=1)  # [P, n]
+    karange = jnp.arange(k, dtype=jnp.int32)[None, :, None]
 
     def lloyd(cents, _):
+        c2 = jnp.sum(cents * cents, axis=-1)  # [P, k]
         d2 = (
-            jnp.sum(points * points, 1, keepdims=True)
-            - 2 * points @ cents.T
-            + jnp.sum(cents * cents, 1)[None]
+            x2[:, None, :]
+            - 2.0 * jnp.einsum("pkc,pcn->pkn", cents, colsT)
+            + c2[:, :, None]
         )
-        a = jnp.argmin(d2, 1)
-        oh = jax.nn.one_hot(a, k, dtype=points.dtype) * weights[:, None]
-        cnt = oh.sum(0)
-        s = jnp.einsum("nk,nd->kd", oh, points, precision="highest")
-        return jnp.where(cnt[:, None] > 0, s / jnp.maximum(cnt[:, None], 1e-30), cents), None
+        a = jnp.argmin(d2, axis=1)  # [P, n], ties -> lowest k
+        oh = (a[:, None, :] == karange).astype(colors.dtype) * weights[:, None, :]
+        cnt = jnp.sum(oh, axis=-1)  # [P, k]
+        s = jnp.einsum("pkn,pcn->pkc", oh, colsT, precision="highest")
+        return jnp.where(cnt[:, :, None] > 0,
+                         s / jnp.maximum(cnt[:, :, None], 1e-30), cents), None
 
     cents, _ = jax.lax.scan(lloyd, cents, None, length=iters)
-    return cents, None, None
+    return jnp.concatenate(
+        [cents.reshape(P, k * 3), npix_d[:, None].astype(jnp.float32)], axis=1
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("S", "max_rounds", "max_inner"))
