@@ -209,8 +209,8 @@ def _supervised():
         )
         drain.start()
         t0 = time.time()
-        last_cpu = 0.0
-        last_progress = time.time()
+        base_cpu = 0
+        base_t = time.time()
         wedged = False
         while p.poll() is None:
             time.sleep(15)
@@ -223,10 +223,14 @@ def _supervised():
                 cpu = int(parts[13]) + int(parts[14])
             except OSError:
                 break
-            if cpu != last_cpu:
-                last_cpu = cpu
-                last_progress = time.time()
-            elif time.time() - last_progress > 240:
+            # meaningful progress = >=0.5s of CPU since the baseline; a
+            # bare "cpu changed" test is defeated by ~1-jiffy keepalive
+            # ticks from a futex-waiting tunnel client (observed: a child
+            # wedged 17 min while its CPU crept 3 ticks)
+            if cpu - base_cpu >= 50:
+                base_cpu = cpu
+                base_t = time.time()
+            elif time.time() - base_t > 240:
                 wedged = True
                 break
         if wedged:

@@ -137,7 +137,7 @@ def main():
     timeit("motion_core one frame (radius 32)",
            lambda: _motion_core(fr1, fr0, 32, False, 192))
 
-    kt, kp, ke = RC._knn_phase(st, settings)
+    kt, kp, ke, _fetch = RC._knn_phase(st, settings)
     th, tw = st.tilemap_h, st.tilemap_w
     tm = st.tilemap
     timeit("phase_b_scan (16 frames, 1 KF)",

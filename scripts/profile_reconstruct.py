@@ -45,7 +45,7 @@ def main():
     # knn phase alone
     for it in range(2):
         t0 = time.perf_counter()
-        kt, kp, ke = R._knn_phase(st, settings)
+        kt, kp, ke, _fetch = R._knn_phase(st, settings)
         dt = time.perf_counter() - t0
     print(f"  _knn_phase (incl pulls): {dt*1e3:.0f} ms", flush=True)
 

@@ -94,7 +94,7 @@ def main():
     G = RC._indicator_dcts(st.corpus_pal_pixels, settings.palette_size).astype(jnp.bfloat16)
     jax.block_until_ready(G)
     t0 = tick(f"reconstruct: indicator_dcts T={len(st.corpus_pal_pixels)}", t0)
-    kt, kp, ke = RC._knn_phase(st, settings)
+    kt, kp, ke, _fetch = RC._knn_phase(st, settings)
     t0 = tick("reconstruct: knn phase (all frames)", t0)
     enc.reconstruct()
     t0 = tick("reconstruct total (incl phase B)", t0)

@@ -108,6 +108,10 @@ class GTMWriter:
         palette_size: int,
         settings_text: str = "",
         lc: int = 8,  # reference parity (extern.pas:427); stdlib fallback clamps
+        lp: int = 1,  # literal position bits: GTM payloads are 16-bit-word
+        # structured, and lp=1 measures 1.3% SMALLER than the reference's
+        # lp=0 on real payloads (props byte self-describes: the unchanged
+        # JS player and every decoder here accept any lc/lp/pb)
         lzma_mode: str = "optimal",
     ):
         self.tw = tilemap_w
@@ -116,6 +120,7 @@ class GTMWriter:
         self.palette_size = palette_size
         self.settings_text = settings_text
         self.lc = lc
+        self.lp = lp
         self.lzma_mode = lzma_mode
 
     # ---- stream prologue -------------------------------------------------
@@ -352,7 +357,8 @@ class GTMWriter:
         # CPU, so thread parallelism buys nothing — compress serially and
         # rely on the native encoder's speed (lzma_mode "fast" trades
         # ~8-10% size for ~3x speed; "optimal" is the ratio default).
-        comps = [lzma_codec.compress(p, lc=self.lc, mode=self.lzma_mode)
+        comps = [lzma_codec.compress(p, lc=self.lc, lp=self.lp,
+                                     mode=self.lzma_mode)
                  for p in payloads]
 
         kf_infos = []

@@ -105,6 +105,15 @@ class EncodeState:
     # concats for every later stage.
     _ingest_pieces: Optional[tuple] = field(default=None, repr=False)
 
+    # prefetched per-cell tile hashes [2, F*N] (device array with its host
+    # copy already streaming): dispatched by predict_motion so Reduce's
+    # pull hides behind the motion programs
+    _hashes_prefetch: Optional[object] = field(default=None, repr=False)
+
+    # prefetched per-corpus-tile palette-pixel hashes [2, T]: dispatched
+    # by dither so Reindex's pull hides behind reconstruct
+    _pal_hashes_prefetch: Optional[object] = field(default=None, repr=False)
+
     def ensure_ingest(self):
         """Run the deferred load finalization exactly once (idempotent)."""
         fin = self._finalize_ingest

@@ -221,6 +221,7 @@ def dither(state: EncodeState, settings: EncoderSettings, chunk: int = 16384) ->
         sel = _dither_tk_pallas(state, settings, hm, vm)
         if sel is not None:
             state.corpus_pal_pixels = sel
+            _prefetch_pal_hashes(state)
             return state
 
     chunk = min(chunk, max(1, T))
@@ -247,7 +248,22 @@ def dither(state: EncodeState, settings: EncoderSettings, chunk: int = 16384) ->
         ))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     state.corpus_pal_pixels = out[:T]  # device-resident
+    _prefetch_pal_hashes(state)
     return state
+
+
+def _prefetch_pal_hashes(state: EncodeState):
+    """Dispatch Reindex's dedup hashes over the fresh palette pixels and
+    start their host copy: both hide behind the reconstruct stage between
+    dither and reindex (reindex then starts with the hashes host-local)."""
+    from .reindex import _pal_hashes
+
+    try:
+        h = _pal_hashes(jnp.asarray(state.corpus_pal_pixels))
+        h.copy_to_host_async()
+        state._pal_hashes_prefetch = h
+    except Exception:
+        state._pal_hashes_prefetch = None
 
 
 def _dither_tk_pallas(state: EncodeState, settings: EncoderSettings, hm, vm):

@@ -225,6 +225,8 @@ class Encoder:
 
         self.state.ensure_ingest()  # the finalize closure isn't picklable
         st = self.state
+        st._hashes_prefetch = None  # transient stage-overlap caches
+        st._pal_hashes_prefetch = None
         for fld in dataclasses.fields(st):
             v = getattr(st, fld.name)
             if isinstance(v, jax.Array):

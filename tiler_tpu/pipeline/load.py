@@ -180,6 +180,13 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
         state.tiles_canon = tiles_parts[0] if len(tiles_parts) == 1 else cat(tiles_parts)
     flags_dev = flag_parts[0] if len(flag_parts) == 1 else jnp.concatenate(flag_parts)
     corr_dev = corr_parts[0] if len(corr_parts) == 1 else jnp.concatenate(corr_parts)
+    # start the (tiny) host copies now: they stream behind the queued
+    # tile-pass programs and are already local when _finalize runs
+    try:
+        flags_dev.copy_to_host_async()
+        corr_dev.copy_to_host_async()
+    except Exception:
+        pass
 
     tm = TileMapSoA.zeros(F, N)
     state.tilemap = tm

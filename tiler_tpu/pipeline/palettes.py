@@ -80,12 +80,19 @@ def palettization(state: EncodeState, settings: EncoderSettings,
         pal_of_c1 = jnp.arange(k1, dtype=jnp.int32)
 
     # use-count sort (:4223-4244) on device: each host<->device crossing
-    # costs ~30-50 ms through the tunnel, so the whole chain pulls ONCE
+    # costs ~30-50 ms through the tunnel (and d2h bandwidth collapses in
+    # bad windows), so the assignment STAYS device-resident; the host copy
+    # streams in the background (copy_to_host_async) and materializes only
+    # when a host consumer (reindex/dither host path/render) asks
     pal_initial = pal_of_c1[assign1]  # [T] device
     use = jnp.bincount(pal_initial, length=P)
     order = jnp.argsort(-use, stable=True)
     lut = jnp.zeros(P, jnp.int32).at[order].set(jnp.arange(P, dtype=jnp.int32))
-    state.corpus_pal_initial = np.asarray(lut[pal_initial])  # one d2h
+    state.corpus_pal_initial = lut[pal_initial]
+    try:
+        state.corpus_pal_initial.copy_to_host_async()
+    except Exception:
+        pass
     return state
 
 
@@ -159,35 +166,97 @@ def quantization(state: EncodeState, settings: EncoderSettings,
                 for p in range(P)
             ]
         ).astype(np.float64)
-    else:
-        seeds = jnp.arange(P) + settings.seed
-        out = np.asarray(_kmeans_small_batch_packed(
-            cols, wts, seeds, npix_d, S, settings.kmeans_iters))
-        cents = out[:, : S * 3].reshape(P, S, 3)
-        npix = out[:, S * 3].astype(np.int64)
+        rgb = np.clip(np.round(np.nan_to_num(cents)), 0, 255).astype(np.int64)
+        rgb = posterize(rgb, 255)  # identity at 8bpc (cBitsPerComp, :4552)
 
-    rgb = np.clip(np.round(np.nan_to_num(cents)), 0, 255).astype(np.int64)
-    rgb = posterize(rgb, 255)  # identity at 8bpc (cBitsPerComp, :4552)
+        # valid color count per palette = min(S, member pixel count) (:4449)
+        ncols = np.minimum(S, npix)
+        valid = np.arange(S)[None, :] < ncols[:, None]
+        rgb[~valid] = 0
 
-    # valid color count per palette = min(S, member pixel count) (:4449)
-    ncols = np.minimum(S, npix)
-    valid = np.arange(S)[None, :] < ncols[:, None]
-    rgb[~valid] = 0
+        # HSV (Val, Sat, Hue) ascending sort of the valid prefix (:4518-4529)
+        hsv = rgb_to_hsv_bytes(rgb)
+        sort_key = np.where(
+            valid,
+            (hsv[..., 2] << 16) | (hsv[..., 1] << 8) | hsv[..., 0],
+            1 << 40,  # invalid slots sort last
+        )
+        order = np.argsort(sort_key, axis=1, kind="stable")
+        rgb = np.take_along_axis(rgb, order[..., None], axis=1)
+        valid = np.take_along_axis(valid, order, axis=1)
 
-    # HSV (Val, Sat, Hue) ascending sort of the valid prefix (:4518-4529)
-    hsv = rgb_to_hsv_bytes(rgb)
-    sort_key = np.where(
-        valid,
-        (hsv[..., 2] << 16) | (hsv[..., 1] << 8) | hsv[..., 0],
-        1 << 40,  # invalid slots sort last
-    )
-    order = np.argsort(sort_key, axis=1, kind="stable")
-    rgb = np.take_along_axis(rgb, order[..., None], axis=1)
-    valid = np.take_along_axis(valid, order, axis=1)
+        state.palettes_rgb = rgb.astype(np.uint8)
+        state.palettes_valid = valid
+        return state
 
-    state.palettes_rgb = rgb.astype(np.uint8)
-    state.palettes_valid = valid
+    # k-means path: quantize + HSV sort + 2-opt permutation optimization
+    # run as ONE device chain with no host crossing in between (the
+    # previous host round-trip per sub-stage cost 3 pulls + 2 re-uploads
+    # of tunnel latency); the packed [P, S, 4] result streams to the host
+    # in the background while dither (which consumes the DEVICE arrays)
+    # dispatches
+    seeds = jnp.arange(P) + settings.seed
+    packed = _quantize_sort_optimize(
+        cols, wts, seeds, npix_d, S, settings.kmeans_iters, 16)
+    state.palettes_rgb = packed[..., :3].astype(jnp.uint8)
+    state.palettes_valid = packed[..., 3] != 0.0
+    try:
+        state.palettes_rgb.copy_to_host_async()
+        state.palettes_valid.copy_to_host_async()
+    except Exception:
+        pass
     return state
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def _hsv_sort_dev(cents, npix, S: int):
+    """Device mirror of the host tail above: clip/round centroids, zero
+    invalid slots, HSV (Val, Sat, Hue) ascending stable sort
+    (tilingencoder.pas:4449, :4518-4529; utils.pas:278-325 integer HSV).
+    posterize(cvt=255) is the identity and is skipped. Returns
+    (rgb f32 [P, S, 3] byte-exact integers, valid bool [P, S])."""
+    rgb = jnp.clip(jnp.round(jnp.nan_to_num(cents)), 0, 255).astype(jnp.int32)
+    ncols = jnp.minimum(S, npix.astype(jnp.int32))
+    valid = jnp.arange(S, dtype=jnp.int32)[None, :] < ncols[:, None]
+    rgb = jnp.where(valid[..., None], rgb, 0)
+
+    def muldiv(a, b, c):  # Windows MulDiv: round-half-away-from-zero
+        num = a * b
+        return jnp.sign(num) * ((jnp.abs(num) + c // 2) // c)
+
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    delta = mx - mn
+    nz = delta != 0
+    safe_delta = jnp.where(nz, delta, 1)
+    s = jnp.where(nz, muldiv(delta, 255, jnp.where(mx == 0, 1, mx)), 0)
+    h_r = muldiv(42, g - b, safe_delta)
+    h_g = muldiv(42, b - r, safe_delta) + 84
+    h_b = muldiv(42, r - g, safe_delta) + 168
+    h = jnp.where(r == mx, h_r, jnp.where(g == mx, h_g, h_b))
+    # Pascal mod truncates toward zero (keeps sign), then `and $ff`
+    h = jnp.where(nz, jax.lax.rem(h, jnp.array(252, h.dtype)) & 0xFF, 0)
+    sort_key = jnp.where(valid, (mx << 16) | (s << 8) | h, 1 << 30)
+    order = jnp.argsort(sort_key, axis=1, stable=True)
+    rgb = jnp.take_along_axis(rgb, order[..., None], axis=1)
+    valid = jnp.take_along_axis(valid, order, axis=1)
+    return rgb.astype(jnp.float32), valid
+
+
+@functools.partial(jax.jit, static_argnames=("S", "iters", "max_rounds"))
+def _quantize_sort_optimize(cols, wts, seeds, npix_d, S: int, iters: int,
+                            max_rounds: int):
+    """Per-palette k-means -> HSV slot sort -> cross-palette 2-opt, fused
+    into one program; ONE packed [P, S, 4] f32 output (rgb + valid)."""
+    out = _kmeans_small_batch_packed(cols, wts, seeds, npix_d, S, iters)
+    P = out.shape[0]
+    cents = out[:, : S * 3].reshape(P, S, 3)
+    npix = out[:, S * 3]
+    rgb, valid = _hsv_sort_dev(cents, npix, S)
+    pal, valid = _optimize_palettes_dev(rgb, valid, S, max_rounds, S * S)
+    return jnp.concatenate([pal, valid[..., None].astype(jnp.float32)],
+                           axis=2)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
@@ -340,5 +409,8 @@ def prepare_palettes(state: EncodeState, settings: EncoderSettings,
                      mesh=None) -> EncodeState:
     state = palettization(state, settings, mesh=mesh)
     state = quantization(state, settings)
-    state = optimize_palettes(state, settings)
+    if settings.color_quantizer == "mediancut":
+        # host-side quantizer: the permutation 2-opt runs as its own
+        # device round trip (the k-means path fuses it on device)
+        state = optimize_palettes(state, settings)
     return state

@@ -108,10 +108,32 @@ def predict_motion(state: EncodeState, settings: EncoderSettings,
                 jnp.asarray(frames[i:j]), jnp.asarray(frames[refs[i:j]]), R,
                 settings.int16_features, settings.motion_rank_dims,
             ))
+    packed_dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    # dispatch Reduce's tile hashes now (they only need the canonical
+    # tiles): the hash program + its d2h stream hide behind the motion
+    # programs still crunching, so reduce_tiles starts with the hashes
+    # already host-local
+    from .reduce import _tile_hashes
+
+    if state._ingest_pieces is not None:
+        hash_parts = [_tile_hashes(tp) for tp in state._ingest_pieces[1]]
+        hashes_dev = jnp.concatenate(
+            [h.reshape(2, -1) for h in hash_parts], axis=1)
+    elif not isinstance(state.tiles_canon, np.ndarray):
+        hashes_dev = _tile_hashes(state.tiles_canon).reshape(2, -1)
+    else:
+        hashes_dev = None
+    try:
+        packed_dev.copy_to_host_async()
+        if hashes_dev is not None:
+            hashes_dev.copy_to_host_async()
+    except Exception:
+        pass
+    state._hashes_prefetch = hashes_dev
     # run the deferred load finalization (small flag/corr pull + host
     # keyframe loop) while the motion programs just dispatched crunch
     state.ensure_ingest()
-    packed = np.asarray(outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1))
+    packed = np.asarray(packed_dev)
     tm.pred_y[:] = ((packed[0] >> 16) & 0xFFFF).astype(np.int32) - 32768
     tm.pred_x[:] = (packed[0] & 0xFFFF).astype(np.int32) - 32768
     tm.psnr[:] = packed[1].view(np.float32)

@@ -334,9 +334,13 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
     return jnp.stack([w0, w1], axis=0)
 
 
-def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
-               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
     """Phase A: per-cell best (tile, palette, err) over all frames.
+
+    Returns (kt_dev, kp_dev, ke_dev, fetch): DEVICE [F, N] fields phase B
+    consumes directly, plus a fetch() closure materializing the host
+    (tile, pal) copy whose transfer was started asynchronously — call it
+    AFTER dispatching phase B so the pull hides under the scans.
 
     With a mesh, the corpus dataset is sharded over the "corpus" axis and
     top-k candidates ride ICI (parallel/knn.py); single-chip falls back to
@@ -454,12 +458,13 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
         else:
             sel = np.arange(F * N, dtype=np.int64)
             sel_cheap = np.empty(0, np.int64)
-        out_tile = np.zeros(F * N, np.int32)
-        out_pal = np.zeros(F * N, np.int32)
-        out_err = np.full(F * N, np.inf, np.float32)
         tiles_flat = state.tiles_canon.reshape(F * N, 8, 8, 3)
 
         def run_cells(cells, use_kk, use_pal_k, use_epu, use_pallas):
+            """Dispatch only: returns (padded cell indexes, device packed
+            [2, Mpad]). The padding repeats the last cell, so the device
+            scatter writes it the identical value twice (no masking, no
+            per-M compile class)."""
             M = len(cells)
             NR = 8192  # cells per compacted row (lax.map iteration)
             rows = max(1, -(-M // NR))
@@ -484,31 +489,57 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
                     tiles_dev = jnp.asarray(tiles_flat[rsel])
                 else:
                     tiles_dev = _gather_cells(tiles_flat, jnp.asarray(rsel))
-                packed = np.asarray(_knn_all_frames(
+                outs.append(_knn_all_frames(
                     tiles_dev.reshape(grows, NR, 8, 8, 3),
                     dsj, G, Q, pal_initial, pal_yuv, pp_dev,
                     palettes_dev, kk=use_kk, pal_k=use_pal_k, S=S,
                     cell_chunk=cell_chunk, epu=use_epu,
                     int16=settings.int16_features, pallas_topk=use_pallas,
-                ))
-                outs.append(packed.reshape(2, -1))
-            packed = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)
-            out_tile[cells] = (packed[0, :M] >> pbits).astype(np.int32)
-            out_pal[cells] = (packed[0, :M] & ((1 << pbits) - 1)).astype(np.int32)
-            out_err[cells] = packed[1, :M].view(np.float32)
+                ).reshape(2, -1))
+            packed = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+            return selp, packed
 
+        jobs = []
         if len(sel):
-            run_cells(sel, kk, pal_k, epu, pallas_topk)
+            jobs.append((sel, run_cells(sel, kk, pal_k, epu, pallas_topk)))
         if len(sel_cheap):
             # skipped cells still get a CHEAP k=1 nearest tile (one argmin
             # matmul, no top-k/EPU): phase B then compares a real knn error
             # against the drifted prediction instead of never switching —
             # recovers most of the compaction's PSNR at ~6 ms/frame
-            run_cells(sel_cheap, 1, 1, False, False)
+            jobs.append((sel_cheap, run_cells(sel_cheap, 1, 1, False, False)))
+
+        # device-side scatter keeps the [F, N] fields ON DEVICE for phase
+        # B (the previous host round-trip pulled ~2.7 MB and re-uploaded
+        # it); the packed results ALSO stream to the host in the
+        # background, materialized by fetch() after phase B dispatches
+        kt_dev = jnp.zeros(F * N, jnp.int32)
+        kp_dev = jnp.zeros(F * N, jnp.int32)
+        ke_dev = jnp.full(F * N, jnp.inf, jnp.float32)
+        for cells, (selp, packed) in jobs:
+            kt_dev, kp_dev, ke_dev = _scatter_knn(
+                kt_dev, kp_dev, ke_dev, jnp.asarray(selp.astype(np.int32)),
+                packed, pbits)
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
+
+        def fetch():
+            out_tile = np.zeros(F * N, np.int32)
+            out_pal = np.zeros(F * N, np.int32)
+            for cells, (selp, packed_dev) in jobs:
+                M = len(cells)
+                packed = np.asarray(packed_dev)
+                out_tile[cells] = (packed[0, :M] >> pbits).astype(np.int32)
+                out_pal[cells] = (packed[0, :M] & ((1 << pbits) - 1)).astype(np.int32)
+            return out_tile.reshape(F, N), out_pal.reshape(F, N)
+
         return (
-            out_tile.reshape(F, N),
-            out_pal.reshape(F, N),
-            out_err.reshape(F, N),
+            kt_dev.reshape(F, N),
+            kp_dev.reshape(F, N),
+            ke_dev.reshape(F, N),
+            fetch,
         )
 
     # mesh path: corpus-sharded top-k per frame group (collectives per
@@ -549,7 +580,26 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None
         best_pal[row : row + g] = np.asarray(p).reshape(g, N)
         best_err[row : row + g] = np.asarray(e).reshape(g, N)
         row += g
-    return best_tile, best_pal, best_err
+    return (
+        jnp.asarray(best_tile),
+        jnp.asarray(best_pal),
+        jnp.asarray(best_err),
+        lambda: (best_tile, best_pal),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("pbits",), donate_argnums=(0, 1, 2))
+def _scatter_knn(kt, kp, ke, cells, packed, pbits: int):
+    """Unpack phase-A results and scatter them into the flat [F*N] device
+    fields (padded duplicate indexes write identical values)."""
+    tile = (packed[0] >> pbits).astype(jnp.int32)
+    pal = (packed[0] & ((1 << pbits) - 1)).astype(jnp.int32)
+    err = jax.lax.bitcast_convert_type(packed[1], jnp.float32)
+    return (
+        kt.at[cells].set(tile),
+        kp.at[cells].set(pal),
+        ke.at[cells].set(err),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("int16",))
@@ -730,7 +780,10 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
     tm = state.tilemap
     R = settings.motion_predict_radius
 
-    knn_tile, knn_pal, knn_err = _knn_phase(state, settings, mesh=mesh)
+    kt_dev, kp_dev, ke_dev, fetch_knn = _knn_phase(state, settings, mesh=mesh)
+    kt_dev = kt_dev.reshape(F, N)
+    kp_dev = kp_dev.reshape(F, N)
+    ke_dev = ke_dev.reshape(F, N)
 
     # phase B runs per keyframe: keyframes are independent (a KF-start
     # frame never predicts, :1496), which bounds device memory to one
@@ -738,9 +791,6 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
     # pad to power-of-two lengths so scan shapes (and compiles) are shared.
     pp_dev = jnp.asarray(state.corpus_pal_pixels)
     pal_dev = jnp.asarray(state.palettes_rgb)
-    kt_dev = jnp.asarray(knn_tile)
-    kp_dev = jnp.asarray(knn_pal)
-    ke_dev = jnp.asarray(knn_err)
     hm_dev = jnp.asarray(tm.hmirror)
     vm_dev = jnp.asarray(tm.vmirror)
     pay_dev = jnp.asarray(tm.pred_y.astype(np.int32))
@@ -798,12 +848,25 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
                 settings.phase_b_motion,
             )
             # one packed d2h per batch (each transfer pays tunnel latency);
-            # psnr is computed on device in the same pass
-            packed = np.asarray(jax.vmap(_pack_phase_b)(*res))  # [Gp, 2, Lp, N]
-            for g, kf in enumerate(batch):
-                L = kf.end_frame + 1 - kf.start_frame
-                results[kf.index] = packed[g, :, :L]
-    pulled = [results[kf.index] for kf in state.keyframes]
+            # psnr is computed on device in the same pass. Dispatch every
+            # batch first — the host copies stream behind the scans
+            packed_dev = jax.vmap(_pack_phase_b)(*res)  # [Gp, 2, Lp, N]
+            try:
+                packed_dev.copy_to_host_async()
+            except Exception:
+                pass
+            results[(Lp, b0)] = (batch, packed_dev)
+
+    # materialize the phase-A host copy now: its transfer overlapped the
+    # phase-B scans just dispatched
+    knn_tile, knn_pal = fetch_knn()
+    by_kf = {}
+    for batch, packed_dev in results.values():
+        packed = np.asarray(packed_dev)
+        for g, kf in enumerate(batch):
+            L = kf.end_frame + 1 - kf.start_frame
+            by_kf[kf.index] = packed[g, :, :L]
+    pulled = [by_kf[kf.index] for kf in state.keyframes]
     w0 = np.concatenate([p[0] for p in pulled], axis=0)
     oy = (w0 >> 16).astype(np.int32) - 16384
     ox = (w0 & 0x7FFF).astype(np.int32) - 16384

@@ -61,7 +61,12 @@ def reduce_tiles(state: EncodeState, settings: EncoderSettings) -> EncodeState:
     eff = np.where(kf_start[:, None], psnr / 10.0, psnr)
     eff_flat = eff.reshape(-1)
 
-    if isinstance(state.tiles_canon, np.ndarray):  # host-resident mode
+    if state._hashes_prefetch is not None:
+        # dispatched by predict_motion; the host copy streamed behind the
+        # motion programs, so this materialization is (nearly) free
+        hh = np.asarray(state._hashes_prefetch)
+        state._hashes_prefetch = None
+    elif isinstance(state.tiles_canon, np.ndarray):  # host-resident mode
         parts = []
         flat_tiles = state.tiles_canon.reshape(-1, 8, 8, 3)
         for i in range(0, len(flat_tiles), 262144):

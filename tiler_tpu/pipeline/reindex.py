@@ -41,7 +41,11 @@ def _gather(arr, idx):
 def reindex(state: EncodeState, settings: EncoderSettings) -> EncodeState:
     tm = state.tilemap
     pp_dev = jnp.asarray(state.corpus_pal_pixels)  # [T, 8, 8] device
-    hh = np.asarray(_pal_hashes(pp_dev))
+    if state._pal_hashes_prefetch is not None:
+        hh = np.asarray(state._pal_hashes_prefetch)  # streamed during reconstruct
+        state._pal_hashes_prefetch = None
+    else:
+        hh = np.asarray(_pal_hashes(pp_dev))
     key = (hh[0].astype(np.int64) << 32) ^ (hh[1].astype(np.int64) & 0xFFFFFFFF)
 
     # dedup on palette pixels (MakeTilesUnique(False))
@@ -81,8 +85,13 @@ def reindex(state: EncodeState, settings: EncoderSettings) -> EncodeState:
 
     sel = first_idx[kept][order]
     sel_dev = jnp.asarray(sel.astype(np.int32))
-    # ONE d2h of just the kept+sorted tile pixels (the writer's input)
-    state.corpus_pal_pixels = np.asarray(_gather(pp_dev, sel_dev))
+    # ONE d2h of just the kept+sorted tile pixels (the writer's input);
+    # the copy streams in the background and save() materializes it
+    state.corpus_pal_pixels = _gather(pp_dev, sel_dev)
+    try:
+        state.corpus_pal_pixels.copy_to_host_async()
+    except Exception:
+        pass
     state.corpus_use = kcounts[order]
     # keep rgb/pal_initial aligned for rendering/debug views (device gather)
     if state.corpus_rgb is not None:

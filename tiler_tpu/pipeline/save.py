@@ -39,10 +39,11 @@ def save(state: EncodeState, settings: EncoderSettings, path) -> GTMStats:
     )
     return writer.write(
         path,
-        state.corpus_pal_pixels,
+        np.asarray(state.corpus_pal_pixels),
         state.corpus_use,
-        state.palettes_rgb,
+        np.asarray(state.palettes_rgb),
         frames,
         kf_end.tolist(),
-        palettes_valid=state.palettes_valid,
+        palettes_valid=(None if state.palettes_valid is None
+                        else np.asarray(state.palettes_valid)),
     )
