@@ -14,9 +14,25 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
+
+
+def _apply_platform_override():
+    """Honor TILER_TPU_PLATFORM (e.g. "cpu") before any pipeline import.
+
+    Some TPU launch environments pin jax's platform list via
+    jax.config at interpreter start, which silently overrides the
+    JAX_PLATFORMS env var; a config-level update is the only reliable
+    host-only escape hatch (useful for decode/info/preview on machines
+    without a reachable chip)."""
+    plat = os.environ.get("TILER_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 def _encoder_from_settings(path_or_none, overrides):
@@ -150,11 +166,23 @@ def cmd_selftest(args):
     return 0
 
 
+def cmd_preview(args):
+    from .preview import preview_gtm
+
+    srv = preview_gtm(args.input, input_path=args.video, port=args.port)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
 def main(argv=None):
+    _apply_platform_override()
     argv = list(sys.argv[1:] if argv is None else argv)
     # reference parity: single argument = settings file, run all
     if len(argv) == 1 and not argv[0].startswith("-") and argv[0] not in (
-        "encode", "decode", "info", "selftest",
+        "encode", "decode", "info", "selftest", "preview",
     ):
         from .pipeline.encoder import Encoder
 
@@ -197,6 +225,13 @@ def main(argv=None):
 
     t = sub.add_parser("selftest")
     t.set_defaults(fn=cmd_selftest)
+
+    v = sub.add_parser("preview", help="HTTP inspector over a .gtm "
+                       "(the GUI's render pages + PSNR readout)")
+    v.add_argument("input")
+    v.add_argument("--video", help="source video (enables the input page)")
+    v.add_argument("--port", type=int, default=8080)
+    v.set_defaults(fn=cmd_preview)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -126,6 +126,8 @@ class EncodeState:
         if self.frames_rgb is None:
             if self._ingest_pieces is not None:
                 return sum(int(p.shape[0]) for p in self._ingest_pieces[0])
+            if self.tilemap is not None:  # frame-less state (ReloadGTM)
+                return int(self.tilemap.tile_idx.shape[0])
             return 0
         return len(self.frames_rgb)
 
