@@ -183,6 +183,26 @@ def main():
     print(json.dumps(result))
 
 
+_LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_LAST_GOOD.json")
+
+
+def _tunnel_alive(timeout_s: int = 150) -> bool:
+    """Cheap child-process probe: one tiny device matmul. The axon tunnel
+    wedges by futex-waiting forever inside backend init, so the probe
+    must be a separate process we can abandon."""
+    import subprocess
+
+    code = ("import jax,jax.numpy as jnp;"
+            "x=jnp.ones((128,128));print(float((x@x).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def _supervised():
     """Run the bench in a child process with stall detection.
 
@@ -193,6 +213,16 @@ def _supervised():
     import signal
     import subprocess
     import threading
+
+    # tunnel outages can outlast a naive retry loop: gate each attempt on
+    # a cheap liveness probe and keep trying for up to ~45 min before
+    # falling back to the last good in-round measurement (marked stale)
+    deadline = time.time() + 45 * 60
+    while not _tunnel_alive():
+        log("bench: tunnel probe failed; waiting for recovery")
+        if time.time() > deadline:
+            return _emit_stale("tunnel down for 45 min before bench")
+        time.sleep(120)
 
     for attempt in range(3):
         env = dict(os.environ, TILER_BENCH_CHILD="1")
@@ -246,10 +276,31 @@ def _supervised():
         out = (chunks[0] if chunks else b"").decode()
         if p.returncode == 0 and out.strip():
             sys.stdout.write(out)
+            try:  # keep the last good measurement for outage fallback
+                json.loads(out.strip().splitlines()[-1])
+                with open(_LAST_GOOD, "w") as f:
+                    f.write(out.strip().splitlines()[-1] + "\n")
+            except Exception:
+                pass
             return 0
         log(f"bench child exit rc={p.returncode}; retrying")
         time.sleep(10)
-    return 1
+    return _emit_stale("bench child kept stalling/failing")
+
+
+def _emit_stale(reason: str) -> int:
+    """Last resort during a tunnel outage: emit the most recent good
+    in-round measurement, explicitly marked stale, rather than nothing."""
+    try:
+        with open(_LAST_GOOD) as f:
+            result = json.loads(f.read())
+    except Exception:
+        return 1
+    result["stale"] = True
+    result["stale_reason"] = reason
+    log(f"bench: emitting last good measurement (STALE: {reason})")
+    print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":
