@@ -135,7 +135,11 @@ def test_reload_gtm_roundtrip(encoded, tmp_path):
     clip, enc, path = encoded
     enc2 = Encoder(_settings(), log=lambda *a: None)
     enc2.reload_gtm(path)
-    assert enc2.state.n_frames == 0  # no video loaded -> no validation
+    # frame-less reload still reports the stream's frame count (preview
+    # serves reloaded streams); validation was skipped because no video
+    # was loaded at reload time
+    assert enc2.state.n_frames == len(clip)
+    assert enc2.state.frames_rgb is None
     assert len(enc2.state.keyframes) >= 1
     out0 = render.render_output(enc2.state, 0)
     frames = GTMDecoder(path).decode_frames()
