@@ -1,0 +1,123 @@
+"""IVF two-level corpus search (pipeline/ivf.py): exactness when every
+block is probed, recall against brute force at default probes, overflow
+accounting, and the phase-A integration flag."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tiler_tpu.pipeline.ivf import build_ivf, ivf_topk, ivf_probe_overflow
+from tiler_tpu.pipeline.reconstruct import _topk_oneshot
+
+
+def _corpus(T=4096, D=192, n_clusters=40, seed=3):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, D).astype(np.float32) * 20
+    pts = centers[rng.randint(0, n_clusters, T)] + rng.randn(T, D).astype(
+        np.float32)
+    return jnp.asarray(pts)
+
+
+def _queries(n=512, D=192, seed=5):
+    return jnp.asarray(
+        np.random.RandomState(seed).randn(n, D).astype(np.float32) * 20)
+
+
+def test_ivf_exact_when_probing_all_blocks():
+    """Probing every block = exhaustive search: every returned candidate
+    must be within bf16-roundoff of the true k-th distance. (Set
+    equality with the brute path is NOT expected: the brute path casts
+    the distance matrix to bf16 before its top-k, while IVF merges in
+    f32 — measured closer to the float64 ground truth.)"""
+    ds = _corpus(T=1500)
+    q = _queries(128)
+    ivf = build_ivf(ds, block_size=64)
+    idx, err = ivf_topk(q, ivf, kk=8, probes=ivf.n_blocks)
+    dn = np.asarray(ds, np.float64)
+    qn = np.asarray(q, np.float64)
+    for i in range(q.shape[0]):
+        true = np.sort(((qn[i][None] - dn) ** 2).sum(1))
+        got = ((qn[i][None] - dn[np.asarray(idx[i])]) ** 2).sum(1)
+        assert (got <= true[7] * (1 + 4e-3)).all(), i
+    # errs ascending
+    e = np.asarray(err)
+    assert (np.diff(e, axis=1) >= -1e-3).all()
+
+
+def test_ivf_recall_at_default_probes():
+    ds = _corpus(T=4096, n_clusters=40)
+    q = ds[np.random.RandomState(7).randint(0, 4096, 256)] + 0.5
+    ivf = build_ivf(ds, block_size=64)
+    idx, _ = ivf_topk(q, ivf, kk=16, probes=8)
+    Tpad = 4096
+    bidx, _ = _topk_oneshot(q, ds, 16, Tpad)
+    hits = 0
+    for i in range(q.shape[0]):
+        hits += len(set(np.asarray(idx[i]).tolist())
+                    & set(np.asarray(bidx[i]).tolist()))
+    recall = hits / (q.shape[0] * 16)
+    assert recall >= 0.85, f"recall@16 {recall:.3f}"
+
+
+def test_ivf_top1_recall_is_high():
+    """The k=1 winner (the non-EPU path's only candidate) must almost
+    always survive IVF."""
+    ds = _corpus(T=4096, n_clusters=40)
+    q = ds[np.random.RandomState(11).randint(0, 4096, 400)] + 0.25
+    ivf = build_ivf(ds, block_size=64)
+    idx, _ = ivf_topk(q, ivf, kk=1, probes=8)
+    bidx, _ = _topk_oneshot(q, ds, 1, 4096)
+    agree = (np.asarray(idx[:, 0]) == np.asarray(bidx[:, 0])).mean()
+    assert agree >= 0.97, f"top-1 agreement {agree:.3f}"
+
+
+def test_ivf_overflow_bounded():
+    ds = _corpus(T=8192, n_clusters=64)
+    q = _queries(2048)
+    ivf = build_ivf(ds, block_size=128)
+    frac = ivf_probe_overflow(q, ivf, probes=8)
+    assert frac < 0.02, f"probe overflow {frac:.4f}"
+
+
+def test_ivf_gids_are_valid_permutation():
+    ds = _corpus(T=1000)
+    ivf = build_ivf(ds, block_size=64)
+    gid = np.asarray(ivf.gid_blk).reshape(-1)
+    valid = np.asarray(ivf.d2_blk).reshape(-1) < np.inf
+    ids = np.sort(gid[valid])
+    assert np.array_equal(ids, np.arange(1000))
+
+
+def test_phase_a_ivf_flag_end_to_end(tmp_path):
+    """TILER_TPU_KNN=ivf runs the full pipeline and produces a decodable
+    stream within 1 dB of the brute-force run."""
+    from tiler_tpu.config import EncoderSettings
+    from tiler_tpu.pipeline.encoder import Encoder
+    from tiler_tpu.bitstream.gtm import GTMDecoder
+
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = np.stack([yy * 4, xx * 3, (yy + xx) * 2], -1).astype(np.uint8)
+    clip = np.stack([np.roll(base + rng.randint(0, 9, base.shape,
+                                                dtype=np.uint8),
+                             (2 * f, 3 * f), (0, 1)) for f in range(5)])
+    s = EncoderSettings(palette_count=8, palette_size=16,
+                        motion_predict_radius=4, epu_knn_k=8,
+                        global_tiling_quality_based_tile_count=4.0,
+                        kmeans_iters=4)
+
+    def run(flag):
+        os.environ["TILER_TPU_KNN"] = flag
+        try:
+            enc = Encoder(s, log=lambda *a: None)
+            p = str(tmp_path / f"{flag}.gtm")
+            enc.run_all(clip, fps=25.0, out_path=p)
+            assert len(GTMDecoder(p).decode_frames()) == 5
+            return enc.state.total_psnr
+        finally:
+            os.environ.pop("TILER_TPU_KNN", None)
+
+    brute = run("pallas")
+    ivf = run("ivf")
+    assert ivf >= brute - 1.0, (brute, ivf)

@@ -274,7 +274,8 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
 )
 def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
                     kk: int, pal_k: int, S: int, cell_chunk: int,
-                    epu: bool, int16: bool, pallas_topk: bool = False):
+                    epu: bool, int16: bool, pallas_topk: bool = False,
+                    ivf=None, ivf_probes: int = 8):
     """Phase A for ALL frames in one device program (lax.map runs frames
     sequentially, so the [cells, Tpad] ranking matrix is a per-iteration
     transient) — one dispatch + one packed d2h instead of per-frame round
@@ -305,7 +306,11 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
         feats = tile_features_raster(tiles_f.astype(jnp.float32))  # [N, 192]
         if int16:
             feats = jnp.round(feats)
-        if pallas_topk:
+        if ivf is not None:
+            from .ivf import ivf_topk
+
+            idx, err = ivf_topk(feats, ivf, kk, probes=ivf_probes)
+        elif pallas_topk:
             idx, err = knn_bucket_topk(feats, dsT, d2p, kk)
         else:
             idx, err = _topk_oneshot(feats, dsj, kk, Tpad)
@@ -409,6 +414,15 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
         and T >= 2 * kk * _TB
         and os.environ.get("TILER_TPU_TOPK", "pallas") == "pallas"
     )
+    # IVF two-level corpus search (pipeline/ivf.py): opt-in candidate,
+    # needs a corpus large enough that block-probing beats one matmul
+    ivf_state = None
+    ivf_probes = int(os.environ.get("TILER_TPU_IVF_P", "8"))
+    if os.environ.get("TILER_TPU_KNN") == "ivf" and T >= 4096:
+        from .ivf import build_ivf
+
+        ivf_state = build_ivf(dsj)
+        pallas_topk = False
     if epu:
         # NOTE: a global [T, P] norm TABLE indexed per (tile, palette) pair
         # was measured 15x SLOWER on v5e (scalar gathers, ~60M elem/s); the
@@ -495,6 +509,7 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
                     palettes_dev, kk=use_kk, pal_k=use_pal_k, S=S,
                     cell_chunk=cell_chunk, epu=use_epu,
                     int16=settings.int16_features, pallas_topk=use_pallas,
+                    ivf=ivf_state, ivf_probes=ivf_probes,
                 ).reshape(2, -1))
             packed = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
             return selp, packed
