@@ -27,7 +27,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK = 1024
+# Block width in pixels = 128 lanes x (BLK/128) sublanes. Wider blocks
+# amortize grid/loop overheads but pad MORE (every palette's tile run
+# pads to BLK/64 tiles; at P=1024 the average padding is P*BLK/128
+# tiles), so the sweet spot needs an on-chip A/B: TILER_TPU_TK_BLK in
+# {1024, 2048, 4096}.
+import os as _os
+
+BLK = int(_os.environ.get("TILER_TPU_TK_BLK", "1024"))
+assert BLK % 128 == 0 and BLK >= 128
 STEPS = 64
 RED_MUL, GREEN_MUL, BLUE_MUL, LUMA_DIV = 299, 587, 114, 1000
 RGB_W = 13
@@ -50,7 +58,7 @@ def _make_kernel(S: int):
         CL = [pal_ref[pal, s, 3] for s in range(S)]
         CV = [pal_ref[pal, s, 4] for s in range(S)]
 
-        sr = pix_ref[0, 0]  # [8, 128]
+        sr = pix_ref[0, 0]  # [BLK//128, 128]
         sg = pix_ref[1, 0]
         sb = pix_ref[2, 0]
         mapv = pix_ref[3, 0]
@@ -122,25 +130,26 @@ def tk_select(pix4, block_pal, pal_table, S: int, interpret: bool = False):
     Returns selected palette slot per pixel [Mpad] int32."""
     mpad = pix4.shape[1]
     nblk = mpad // BLK
+    R = BLK // 128  # sublane rows per block
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((4, 1, 8, 128), lambda i, *_: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 1, R, 128), lambda i, *_: (0, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(pal_table.shape, lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, R, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((STEPS, 8, 128), jnp.int32),
-            pltpu.VMEM((STEPS, 8, 128), jnp.int32),
+            pltpu.VMEM((STEPS, R, 128), jnp.int32),
+            pltpu.VMEM((STEPS, R, 128), jnp.int32),
         ],
     )
     sel = pl.pallas_call(
         _make_kernel(S),
-        out_shape=jax.ShapeDtypeStruct((nblk, 8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nblk, R, 128), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(block_pal, pix4.reshape(4, nblk, 8, 128), pal_table)
+    )(block_pal, pix4.reshape(4, nblk, R, 128), pal_table)
     return sel.reshape(mpad)
 
 
