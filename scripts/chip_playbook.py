@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""One-shot measurement battery for a freshly-recovered TPU tunnel.
+
+Runs, in order, each in a fresh child process (env knobs bind at
+module import): a synced-step bench split at reference defaults, the
+IVF KNN A/B, and the TK-dither block-width sweep. Writes everything to
+/tmp/chip_playbook.json and prints a summary. ~15-25 min total with a
+warm compile cache.
+
+Usage: python scripts/chip_playbook.py [--quick]
+  --quick: 8 frames instead of 16, skip the TK sweep
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = "/tmp/chip_playbook.json"
+
+CHILD = r"""
+import json, os, sys, time
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/tiler_tpu_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+sys.path.insert(0, %(root)r)
+from bench import synthetic_clip
+from tiler_tpu.config import EncoderSettings
+from tiler_tpu.pipeline.encoder import Encoder
+
+F = int(os.environ.get("PB_FRAMES", "16"))
+clip = synthetic_clip(F, 720, 1280)
+settings = EncoderSettings(
+    palette_count=1024, palette_size=16, motion_predict_radius=32,
+    global_tiling_quality_based_tile_count=7.0, epu_knn_k=64,
+)
+# warm (compiles)
+enc = Encoder(settings, log=lambda *a: None)
+enc.run_all(clip, fps=25.0, out_path="/tmp/pb.gtm")
+# steady, best of 2
+best = None
+for _ in range(2):
+    t0 = time.time()
+    enc = Encoder(settings, log=lambda *a: None)
+    enc.run_all(clip, fps=25.0, out_path="/tmp/pb.gtm")
+    best = min(best or 1e9, time.time() - t0)
+# synced split
+os.environ["TILER_TPU_SYNC_STEPS"] = "1"
+enc2 = Encoder(settings, log=lambda *a: None)
+enc2.run_all(clip, fps=25.0, out_path="/tmp/pb.gtm")
+print("PBJSON " + json.dumps({
+    "fps": round(F / best, 3),
+    "wall_s": round(best, 2),
+    "steps": {k: round(v, 3) for k, v in enc2.timings.items()},
+    "psnr": round(enc.state.total_psnr, 3),
+    "bytes": enc.stats.total_bytes,
+    "corpus": (0 if enc.state.corpus_use is None
+               else int(enc.state.corpus_use.sum() and
+                        len(enc.state.corpus_use))),
+}))
+"""
+
+
+def run_child(name, env_extra, frames, timeout=3000):
+    env = dict(os.environ, PB_FRAMES=str(frames), **env_extra)
+    print(f"=== {name} ({env_extra or 'defaults'}) ===", flush=True)
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", CHILD % {"root": ROOT}],
+            env=env, timeout=timeout, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        print("  TIMEOUT", flush=True)
+        return {"error": "timeout"}
+    for line in r.stdout.splitlines():
+        if line.startswith("PBJSON "):
+            d = json.loads(line[len("PBJSON "):])
+            d["setup_s"] = round(time.time() - t0, 1)
+            print("  " + json.dumps(d), flush=True)
+            return d
+    print(f"  FAILED rc={r.returncode}\n{r.stderr[-2000:]}", flush=True)
+    return {"error": f"rc={r.returncode}"}
+
+
+def main():
+    quick = "--quick" in sys.argv
+    frames = 8 if quick else 16
+    results = {"frames": frames, "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+
+    results["baseline"] = run_child("baseline", {}, frames)
+    results["ivf"] = run_child("ivf knn", {"TILER_TPU_KNN": "ivf"}, frames)
+    results["ivf_p16"] = run_child(
+        "ivf knn P=16", {"TILER_TPU_KNN": "ivf", "TILER_TPU_IVF_P": "16"},
+        frames)
+    if not quick:
+        for blk in (2048, 4096):
+            results[f"tk_blk_{blk}"] = run_child(
+                f"tk blk {blk}", {"TILER_TPU_TK_BLK": str(blk)}, frames)
+
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"\nwrote {OUT}")
+    base = results.get("baseline", {})
+    for k, v in results.items():
+        if isinstance(v, dict) and "fps" in v:
+            delta = ""
+            if k != "baseline" and base.get("fps"):
+                delta = f"  ({v['fps']/base['fps']:+.1%} fps vs baseline)"
+            print(f"{k:14s} fps={v['fps']:<7} psnr={v.get('psnr')} "
+                  f"bytes={v.get('bytes')}{delta}")
+
+
+if __name__ == "__main__":
+    main()
