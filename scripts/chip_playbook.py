@@ -35,6 +35,10 @@ settings = EncoderSettings(
     palette_count=1024, palette_size=16, motion_predict_radius=32,
     global_tiling_quality_based_tile_count=7.0, epu_knn_k=64,
 )
+for kv in os.environ.get("PB_SETTINGS", "").split(","):
+    if kv:
+        k, v = kv.split("=")
+        setattr(settings, k, type(getattr(settings, k))(v))
 # warm (compiles)
 enc = Encoder(settings, log=lambda *a: None)
 enc.run_all(clip, fps=25.0, out_path="/tmp/pb.gtm")
@@ -92,6 +96,9 @@ def main():
     results["ivf"] = run_child("ivf knn", {"TILER_TPU_KNN": "ivf"}, frames)
     results["ivf_p16"] = run_child(
         "ivf knn P=16", {"TILER_TPU_KNN": "ivf", "TILER_TPU_IVF_P": "16"},
+        frames)
+    results["motion_d48"] = run_child(
+        "motion rank dims 48", {"PB_SETTINGS": "motion_rank_dims=48"},
         frames)
     if not quick:
         for blk in (2048, 4096):
