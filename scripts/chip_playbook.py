@@ -100,6 +100,8 @@ def main():
     results["motion_d48"] = run_child(
         "motion rank dims 48", {"PB_SETTINGS": "motion_rank_dims=48"},
         frames)
+    results["kmeans_i12"] = run_child(
+        "kmeans 12 iters", {"PB_SETTINGS": "kmeans_iters=12"}, frames)
     if not quick:
         for blk in (2048, 4096):
             results[f"tk_blk_{blk}"] = run_child(
