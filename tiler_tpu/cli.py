@@ -20,6 +20,81 @@ import sys
 import numpy as np
 
 
+class DeviceWatchdog:
+    """Failure detection for unreachable device backends (SURVEY section 5).
+
+    A dead TPU tunnel makes backend init block FOREVER inside the first
+    dispatch with zero CPU use and zero output — indistinguishable, from
+    the console, from a long first compile. This watchdog distinguishes
+    them: when no step progress lands for `stall_s`, it probes the
+    backend from a DISPOSABLE child process (the probe also blocks if
+    the backend is dead — the child can be abandoned, the main process
+    can't). A healthy probe means "slow compile, keep waiting"; a failed
+    probe prints the diagnosis and the host-only remedy once.
+
+    Diagnostic-only by design: it never kills the encode (a transient
+    tunnel blip mid-recovery would otherwise abort legitimate runs)."""
+
+    def __init__(self, stall_s: float = 150.0, probe_timeout: float = 90.0):
+        import threading
+        import time as _t
+
+        self.stall_s = stall_s
+        self.probe_timeout = probe_timeout
+        self._last = _t.time()
+        self._warned = False
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def tick(self, *_a, **_k):
+        import time as _t
+
+        self._last = _t.time()
+
+    def __enter__(self):
+        if not self._thread.is_alive():  # idempotent: may wrap an import
+            self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+
+    @staticmethod
+    def _backend_alive(timeout: float) -> bool:
+        import subprocess
+
+        code = ("import jax,jax.numpy as jnp;"
+                "x=jnp.ones((64,64));print(float((x@x).sum()))")
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout, capture_output=True)
+            return r.returncode == 0
+        except Exception:
+            return False
+
+    def _check_once(self):
+        import time as _t
+
+        if self._warned or _t.time() - self._last < self.stall_s:
+            return
+        if self._backend_alive(self.probe_timeout):
+            self.tick()  # device healthy: just a slow compile
+            return
+        self._warned = True
+        print(
+            f"tiler-tpu: no progress for {int(_t.time() - self._last)}s "
+            "and the device backend probe FAILED — the accelerator "
+            "tunnel looks unreachable (backend init blocks forever). "
+            "Options: wait for recovery, or rerun host-only with "
+            "TILER_TPU_PLATFORM=cpu.",
+            file=sys.stderr, flush=True,
+        )
+
+    def _run(self):
+        while not self._stop.wait(30.0):
+            self._check_once()
+
+
 def _apply_platform_override():
     """Honor TILER_TPU_PLATFORM (e.g. "cpu") before any pipeline import.
 
@@ -46,6 +121,10 @@ def _encoder_from_settings(path_or_none, overrides):
 
 
 def cmd_encode(args):
+    # watchdog wraps the import: a dead backend blocks inside the first
+    # module-level jit dispatch (see DeviceWatchdog)
+    _wd = DeviceWatchdog()
+    _wd.__enter__()
     from .pipeline.encoder import Encoder, STEPS
 
     settings = _encoder_from_settings(
@@ -70,20 +149,23 @@ def cmd_encode(args):
         enc = Encoder(settings, mesh=mesh)
 
     # step-range execution (GUI start/end step combos, main.pas:406-443)
-    if args.steps:
-        a, _, b = args.steps.partition(":")
-        a = a or STEPS[0]
-        b = b or STEPS[-1]
-        i0, i1 = STEPS.index(a), STEPS.index(b)
-        for name in STEPS[i0 : i1 + 1]:
-            if name == "load":
-                enc.load_video()
-            elif name == "save":
-                enc.save()
-            else:
-                getattr(enc, name)()
-    else:
-        enc.run_all()
+    with _wd as wd:
+        orig_log = enc.log
+        enc.log = lambda *a: (wd.tick(), orig_log(*a))
+        if args.steps:
+            a, _, b = args.steps.partition(":")
+            a = a or STEPS[0]
+            b = b or STEPS[-1]
+            i0, i1 = STEPS.index(a), STEPS.index(b)
+            for name in STEPS[i0 : i1 + 1]:
+                if name == "load":
+                    enc.load_video()
+                elif name == "save":
+                    enc.save()
+                else:
+                    getattr(enc, name)()
+        else:
+            enc.run_all()
     if args.checkpoint:
         enc.save_checkpoint(args.checkpoint)
     if args.export_y4m:
@@ -184,10 +266,14 @@ def main(argv=None):
     if len(argv) == 1 and not argv[0].startswith("-") and argv[0] not in (
         "encode", "decode", "info", "selftest", "preview",
     ):
-        from .pipeline.encoder import Encoder
+        # the watchdog must wrap the IMPORT too: a dead backend blocks
+        # inside the first module-level jit dispatch, before any step runs
+        with DeviceWatchdog() as wd:
+            from .pipeline.encoder import Encoder
 
-        enc = Encoder(_encoder_from_settings(argv[0], {}))
-        enc.run_all()
+            enc = Encoder(_encoder_from_settings(argv[0], {}),
+                          log=lambda *a: (wd.tick(), print(*a, flush=True)))
+            enc.run_all()
         return 0
 
     p = argparse.ArgumentParser(prog="tiler-tpu", description=__doc__)
