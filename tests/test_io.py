@@ -69,3 +69,41 @@ def test_least_squares():
     x_true = np.array([3.0, -1.0])
     b = a @ x_true
     assert np.allclose(least_squares(a, b), x_true)
+
+
+def test_ffmpeg_banner_probe_fallback(tmp_path, monkeypatch):
+    """ffprobe-less probing (io/video.py:_probe_banner): a fake ffmpeg
+    that emits a realistic -i banner on stderr and rawvideo on stdout
+    exercises the full fallback decode path (no real ffmpeg in CI)."""
+    import subprocess
+    import numpy as np
+    from tiler_tpu.io import video as V
+
+    W, H, F = 32, 16, 3
+    frames = np.arange(F * H * W * 3, dtype=np.uint8).reshape(F, H, W, 3)
+    raw = tmp_path / "raw.bin"
+    raw.write_bytes(frames.tobytes())
+    fake = tmp_path / "ffmpeg"
+    fake.write_text(f"""#!/bin/bash
+# fake ffmpeg: probe banner on -i only; rawvideo pipe otherwise
+if [ "${{@: -1}}" != "-" ]; then
+  cat >&2 <<'BANNER'
+Input #0, mov,mp4, from 'clip.mp4':
+  Duration: 00:00:00.12, start: 0.000000, bitrate: 1234 kb/s
+  Stream #0:0[0x1](und): Video: h264 (High), yuv420p, {W}x{H}, 25 fps, 25 tbr
+BANNER
+  exit 1
+fi
+cat {raw}
+""")
+    fake.chmod(0o755)
+
+    got = V._probe_banner(str(fake), "clip.mp4")
+    assert got == (W, H, 25.0, 5)  # 0.12s * 25fps + 2
+
+    monkeypatch.setattr(
+        V.shutil, "which",
+        lambda name: str(fake) if name == "ffmpeg" else None)
+    out, fps = V.load_ffmpeg("clip.mp4", frame_count=F)
+    assert fps == 25.0 and out.shape == (F, H, W, 3)
+    assert np.array_equal(out, frames)

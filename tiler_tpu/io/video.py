@@ -165,6 +165,30 @@ def load_image_sequence(pattern: str, start_frame: int = 0,
     return np.stack(frames), 24.0
 
 
+def _probe_banner(ffmpeg: str, path: str):
+    """ffprobe-less probing: parse the `ffmpeg -i` stderr banner
+    ("Stream #0:0: Video: ..., 1280x720 ..., 25 fps" + "Duration:").
+    Returns (W, H, fps, nb_frames_estimate); raises if no video stream
+    line parses. CFR cannot be asserted from the banner, so callers must
+    treat the result as VFR (no time-seek)."""
+    import re
+
+    out = subprocess.run([ffmpeg, "-hide_banner", "-i", path],
+                         capture_output=True, text=True).stderr
+    m = re.search(r"Stream #\d+:\d+.*?: Video:.*?(\d{2,5})x(\d{2,5})", out)
+    if not m:
+        raise RuntimeError(f"cannot probe {path}: no video stream in banner")
+    W, H = int(m.group(1)), int(m.group(2))
+    fm = re.search(r"(\d+(?:\.\d+)?)\s*fps", out)
+    fps = float(fm.group(1)) if fm else 24.0
+    nb = 0
+    dm = re.search(r"Duration:\s*(\d+):(\d\d):(\d\d(?:\.\d+)?)", out)
+    if dm:
+        secs = int(dm.group(1)) * 3600 + int(dm.group(2)) * 60 + float(dm.group(3))
+        nb = int(secs * fps) + 2
+    return W, H, fps, nb
+
+
 def load_ffmpeg(path: str, start_frame: int = 0, frame_count: Optional[int] = None,
                 scaling: float = 1.0) -> Tuple[np.ndarray, float]:
     """Decode via the ffmpeg binary, STREAMING the rawvideo pipe frame by
@@ -203,6 +227,11 @@ def load_ffmpeg(path: str, start_frame: int = 0, frame_count: Optional[int] = No
                 nb_frames = int(float(out[5]) * fps) + 2
             except ValueError:
                 pass
+    else:
+        # no ffprobe on this host: parse the ffmpeg -i banner instead
+        # (W=0 would otherwise spin forever on zero-byte pipe reads);
+        # banner probing can't prove CFR, so time-seek stays disabled
+        W, H, fps, nb_frames = _probe_banner(ffmpeg, path)
     vf = []
     if scaling != 1.0:
         W, H = max(1, round(W * scaling)), max(1, round(H * scaling))
