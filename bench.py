@@ -285,6 +285,13 @@ def _supervised():
             return 0
         log(f"bench child exit rc={p.returncode}; retrying")
         time.sleep(10)
+    # stale fallback ONLY masks outages: if the tunnel is healthy the
+    # child failed for a code reason — surface that as a real failure
+    # instead of reporting old numbers with exit 0
+    if _tunnel_alive():
+        log("bench: children failed but the tunnel probe passes — "
+            "real failure, no stale fallback")
+        return 1
     return _emit_stale("bench child kept stalling/failing")
 
 

@@ -60,8 +60,7 @@ print("PBJSON " + json.dumps({
     "psnr": round(enc.state.total_psnr, 3),
     "bytes": enc.stats.total_bytes,
     "corpus": (0 if enc.state.corpus_use is None
-               else int(enc.state.corpus_use.sum() and
-                        len(enc.state.corpus_use))),
+               else len(enc.state.corpus_use)),
 }))
 """
 

@@ -135,11 +135,16 @@ def test_reload_gtm_roundtrip(encoded, tmp_path):
     clip, enc, path = encoded
     enc2 = Encoder(_settings(), log=lambda *a: None)
     enc2.reload_gtm(path)
-    # frame-less reload still reports the stream's frame count (preview
-    # serves reloaded streams); validation was skipped because no video
-    # was loaded at reload time
-    assert enc2.state.n_frames == len(clip)
+    # n_frames means LOADED SOURCE frames ("video loaded?"); the
+    # stream's content frame count is preview.content_frames
+    from tiler_tpu.preview import content_frames
+
+    assert enc2.state.n_frames == 0
+    assert content_frames(enc2.state) == len(clip)
     assert enc2.state.frames_rgb is None
+    # a second reload on the same video-less encoder must not validate
+    # against the first stream's dimensions
+    enc2.reload_gtm(path)
     assert len(enc2.state.keyframes) >= 1
     out0 = render.render_output(enc2.state, 0)
     frames = GTMDecoder(path).decode_frames()

@@ -109,6 +109,10 @@ def test_phase_a_ivf_flag_end_to_end(tmp_path):
 
     def run(flag):
         os.environ["TILER_TPU_KNN"] = flag
+        # the tiny test corpus is far below the production 4096-tile
+        # gate: drop it so the IVF path actually engages (a gated-out
+        # run would compare brute vs brute and test nothing)
+        os.environ["TILER_TPU_IVF_MIN_T"] = "1"
         try:
             enc = Encoder(s, log=lambda *a: None)
             p = str(tmp_path / f"{flag}.gtm")
@@ -117,6 +121,7 @@ def test_phase_a_ivf_flag_end_to_end(tmp_path):
             return enc.state.total_psnr
         finally:
             os.environ.pop("TILER_TPU_KNN", None)
+            os.environ.pop("TILER_TPU_IVF_MIN_T", None)
 
     brute = run("pallas")
     ivf = run("ivf")

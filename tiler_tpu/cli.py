@@ -83,10 +83,13 @@ class DeviceWatchdog:
         self._warned = True
         print(
             f"tiler-tpu: no progress for {int(_t.time() - self._last)}s "
-            "and the device backend probe FAILED — the accelerator "
-            "tunnel looks unreachable (backend init blocks forever). "
-            "Options: wait for recovery, or rerun host-only with "
-            "TILER_TPU_PLATFORM=cpu.",
+            "and a child-process device probe FAILED. Likely causes: "
+            "(a) the accelerator tunnel/backend is unreachable (init "
+            "blocks forever — rerun host-only with "
+            "TILER_TPU_PLATFORM=cpu), or (b) this runtime grants the "
+            "device exclusively to the running encode, in which case "
+            "this is a long first compile — if step logs resume, "
+            "ignore this warning.",
             file=sys.stderr, flush=True,
         )
 

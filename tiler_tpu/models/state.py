@@ -123,11 +123,14 @@ class EncodeState:
 
     @property
     def n_frames(self) -> int:
+        # NOTE: counts LOADED SOURCE frames only — callers use
+        # n_frames == 0 as "no video loaded" (run_all's auto-load,
+        # reload_gtm's stream-vs-video validation). A frame-less
+        # reloaded state reports 0 here; preview derives its frame
+        # count from the tilemap instead (preview.content_frames).
         if self.frames_rgb is None:
             if self._ingest_pieces is not None:
                 return sum(int(p.shape[0]) for p in self._ingest_pieces[0])
-            if self.tilemap is not None:  # frame-less state (ReloadGTM)
-                return int(self.tilemap.tile_idx.shape[0])
             return 0
         return len(self.frames_rgb)
 

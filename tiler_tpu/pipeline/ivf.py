@@ -17,7 +17,7 @@ biggest tensor of the encode. IVF replaces it with:
 FLOPs drop ~T/(P*M)-fold; the candidate merge is a top-k over P*M
 instead of Tpad. Everything is static-shaped for XLA: the per-block
 query lists use a sort + capacity-K scatter (overflow drops are counted
-and bounded by the 4x slack), padded blocks rank at +inf.
+and bounded by the 8x slack), padded blocks rank at +inf.
 
 Gated by TILER_TPU_KNN=ivf (default: the Pallas/XLA brute path) until
 measured on the chip; the EPU re-ranks the survivors with exact errors,
@@ -188,7 +188,7 @@ def ivf_topk(feats, ivf: IVFState, kk: int, probes: int = 8,
 def ivf_probe_overflow(feats, ivf: IVFState, probes: int = 8,
                        cap: int = 0) -> float:
     """Diagnostic: fraction of probe slots dropped by the capacity K
-    (should stay well under 1% at the default 4x slack)."""
+    (should stay well under 1% at the default 8x slack)."""
     N = feats.shape[0]
     B, P = ivf.n_blocks, min(probes, ivf.n_blocks)
     if not cap:

@@ -270,7 +270,7 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
 @functools.partial(
     jax.jit,
     static_argnames=("kk", "pal_k", "S", "cell_chunk", "epu", "int16",
-                     "pallas_topk"),
+                     "pallas_topk", "ivf_probes"),
 )
 def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
                     kk: int, pal_k: int, S: int, cell_chunk: int,
@@ -418,7 +418,8 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
     # needs a corpus large enough that block-probing beats one matmul
     ivf_state = None
     ivf_probes = int(os.environ.get("TILER_TPU_IVF_P", "8"))
-    if os.environ.get("TILER_TPU_KNN") == "ivf" and T >= 4096:
+    ivf_min_t = int(os.environ.get("TILER_TPU_IVF_MIN_T", "4096"))
+    if os.environ.get("TILER_TPU_KNN") == "ivf" and T >= ivf_min_t:
         from .ivf import build_ivf
 
         ivf_state = build_ivf(dsj)

@@ -29,12 +29,23 @@ from .models.state import EncodeState
 
 _PAGES = ("input", "output", "tiles", "palettes")
 
+
+def content_frames(state: EncodeState) -> int:
+    """Frame count of the state's CONTENT: loaded source frames, or the
+    tilemap's frame axis for a frame-less reloaded stream (n_frames
+    deliberately stays 0 there — callers use it as "video loaded?")."""
+    if state.n_frames:
+        return state.n_frames
+    if state.tilemap is not None:
+        return int(state.tilemap.tile_idx.shape[0])
+    return 0
+
 _INDEX_HTML = """<!doctype html>
 <html><head><title>tiler-tpu preview</title><style>
 body { font-family: sans-serif; background: #181818; color: #ddd;
        margin: 1em; }
 img { image-rendering: pixelated; border: 1px solid #444;
-      max-width: 100%%; }
+      max-width: 100%; }
 .bar { margin: 0.6em 0; display: flex; gap: 1em; align-items: center; }
 select, input { background: #282828; color: #ddd; }
 #psnr { font-variant-numeric: tabular-nums; }
@@ -133,7 +144,7 @@ class PreviewServer:
 
     def info(self) -> dict:
         st = self.state
-        F = st.n_frames
+        F = content_frames(st)
         psnr = None
         if st.tilemap is not None and st.tilemap.psnr is not None:
             psnr = [render.frame_psnr(st, f) for f in range(F)]
@@ -187,7 +198,8 @@ class PreviewServer:
 
     def serve_forever(self):
         print(f"preview: http://127.0.0.1:{self.port}/ "
-              f"({len(self.pages)} pages, {self.state.n_frames} frames)")
+              f"({len(self.pages)} pages, "
+              f"{content_frames(self.state)} frames)")
         self.httpd.serve_forever()
 
     def start_background(self) -> threading.Thread:
