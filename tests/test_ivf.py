@@ -39,7 +39,9 @@ def test_ivf_exact_when_probing_all_blocks():
     for i in range(q.shape[0]):
         true = np.sort(((qn[i][None] - dn) ** 2).sum(1))
         got = ((qn[i][None] - dn[np.asarray(idx[i])]) ** 2).sum(1)
-        assert (got <= true[7] * (1 + 4e-3)).all(), i
+        # the merge ranks in bf16 (8-bit mantissa): two near-boundary
+        # values can swap within ~2 ulps = ~0.8% relative
+        assert (got <= true[7] * (1 + 1.2e-2)).all(), i
     # errs ascending
     e = np.asarray(err)
     assert (np.diff(e, axis=1) >= -1e-3).all()
