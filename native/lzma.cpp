@@ -495,10 +495,11 @@ struct Encoder {
   }
 
   static u32 hash5(const u8* p) {
-    u64 v;
-    memcpy(&v, p, 8);
-    return (u32)(((v & 0xFFFFFFFFFFull) * 0x9E3779B185EBCA87ull) >>
-                 (64 - kHash5Bits));
+    // read exactly the 5 guarded bytes: callers ensure pos + 5 <= n, so
+    // an 8-byte load could touch up to 3 bytes past the buffer end
+    u64 v = 0;
+    memcpy(&v, p, 5);
+    return (u32)((v * 0x9E3779B185EBCA87ull) >> (64 - kHash5Bits));
   }
 
   void insert_fast(const u8* data, size_t n, size_t pos) {
@@ -518,8 +519,9 @@ struct Encoder {
     }
   }
 
-  // fast-mode best match: closest 4-gram probe, then the hash-5 chain;
-  // stops early at nice_len (LzmaEnc numFastBytes analog)
+  // fast-mode best match: hash-5 chain walk only (the closest-4 probe
+  // was removed — see the measurement note in the body); stops early at
+  // nice_len (LzmaEnc numFastBytes analog)
   void find_match_fast(const u8* data, size_t n, size_t pos, u32& best_len,
                        u32& best_dist, u32 nice_len) {
     best_len = 0;
@@ -887,8 +889,14 @@ struct Encoder {
           u32 dense = L <= (GTM_DENSE + 8) ? L : GTM_DENSE;
           for (u32 len = 2; len <= dense; len++)
             relax(i + (int)len, base + rlp[len], len, (u32)r, nst, nreps);
-          for (u32 len = (L > 40 ? L - 1 : L + 1); len <= L; len++)
-            relax(i + (int)len, base + rlp[len], len, (u32)r, nst, nreps);
+          // tail: always relax the full run length (and L-1). The old
+          // `L > 40 ? L-1 : L+1` start skipped L entirely for
+          // 17 <= L <= 40 — the DP then stitched such rep runs from
+          // <=8-byte pieces (3 ops instead of 1)
+          if (dense < L)
+            for (u32 len = (L - 1 > dense ? L - 1 : dense + 1); len <= L;
+                 len++)
+              relax(i + (int)len, base + rlp[len], len, (u32)r, nst, nreps);
         }
         // normal matches (skipped inside long runs)
         int nc = 0;

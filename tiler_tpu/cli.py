@@ -147,7 +147,11 @@ def cmd_encode(args):
         enc = Encoder.load_checkpoint(args.resume)
         enc.settings = settings if args.settings else enc.settings
         if mesh:
-            enc.mesh = Encoder(settings, mesh=mesh).mesh
+            import jax
+
+            from .parallel import make_mesh
+
+            enc.mesh = make_mesh() if jax.device_count() > 1 else None
     else:
         enc = Encoder(settings, mesh=mesh)
 
@@ -156,9 +160,11 @@ def cmd_encode(args):
         orig_log = enc.log
         enc.log = lambda *a: (wd.tick(), orig_log(*a))
         if args.steps:
-            a, _, b = args.steps.partition(":")
+            a, colon, b = args.steps.partition(":")
             a = a or STEPS[0]
-            b = b or STEPS[-1]
+            # "a:b" is a range (open ends default to first/last step);
+            # a bare "a" means exactly that one step
+            b = b or (STEPS[-1] if colon else a)
             i0, i1 = STEPS.index(a), STEPS.index(b)
             for name in STEPS[i0 : i1 + 1]:
                 if name == "load":
@@ -182,6 +188,10 @@ def cmd_encode(args):
 
         from .io.export import write_y4m
 
+        # deferred pipelined ingest keeps frames in pieces until a
+        # consumer materializes them; a step range ending at load would
+        # otherwise export from frames_rgb=None
+        enc.state.ensure_ingest()
         write_y4m(args.export_input_y4m, np.asarray(enc.state.frames_rgb), enc.state.fps)
     if args.export_pngs:
         from .bitstream.gtm import GTMDecoder

@@ -203,28 +203,35 @@ def load_ffmpeg(path: str, start_frame: int = 0, frame_count: Optional[int] = No
     nb_frames = 0
     cfr = False
     if ffprobe:
-        out = subprocess.run(
-            [ffprobe, "-v", "quiet", "-select_streams", "v:0", "-show_entries",
+        # JSON output keyed by NAME: csv=p=0 prints fields in ffprobe's
+        # internal stream order (duration before nb_frames), NOT the
+        # -show_entries request order — positional parsing silently
+        # swapped them, inflating the preallocation estimate ~fps-fold
+        import json as _json
+
+        info = _json.loads(subprocess.run(
+            [ffprobe, "-v", "quiet", "-select_streams", "v:0",
+             "-show_entries",
              "stream=width,height,r_frame_rate,avg_frame_rate,nb_frames,duration",
-             "-of", "csv=p=0", path],
+             "-of", "json", path],
             capture_output=True, text=True, check=True,
-        ).stdout.strip().split(",")
-        W, H = int(out[0]), int(out[1])
-        n, d = out[2].split("/")
+        ).stdout)["streams"][0]
+        W, H = int(info["width"]), int(info["height"])
+        n, d = info["r_frame_rate"].split("/")
         fps = float(n) / float(d)
         # constant frame rate <=> r_frame_rate == avg_frame_rate; VFR (or
         # telecined streams reporting 2x r_frame_rate) must NOT time-seek —
         # the pipe would silently start at the wrong frame
         try:
-            an, ad = out[3].split("/")
+            an, ad = info.get("avg_frame_rate", "0/0").split("/")
             cfr = float(ad) != 0.0 and abs(fps - float(an) / float(ad)) < 1e-9
-        except (ValueError, IndexError):
+        except ValueError:
             cfr = False
-        if len(out) > 4 and out[4].isdigit():
-            nb_frames = int(out[4])
-        elif len(out) > 5:
+        if str(info.get("nb_frames", "")).isdigit():
+            nb_frames = int(info["nb_frames"])
+        elif "duration" in info:
             try:
-                nb_frames = int(float(out[5]) * fps) + 2
+                nb_frames = int(float(info["duration"]) * fps) + 2
             except ValueError:
                 pass
     else:

@@ -195,8 +195,14 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
         if state._ingest_pieces is not None:
             fp, tp = state._ingest_pieces
             state._ingest_pieces = None
+            # concatenate frames and tiles SEQUENTIALLY, dropping each
+            # piece list before the next concat: holding both pieces and
+            # both concats at once transiently doubles the resident
+            # footprint near the HBM frames budget
             state.frames_rgb = fp[0] if len(fp) == 1 else jnp.concatenate(fp)
+            del fp
             state.tiles_canon = tp[0] if len(tp) == 1 else jnp.concatenate(tp)
+            del tp
         flags = np.asarray(flags_dev)  # one small pull (N/4 bytes/frame)
         corr = np.asarray(corr_dev).copy()
         if F > 0:
