@@ -215,9 +215,10 @@ def _supervised():
     import threading
 
     # tunnel outages can outlast a naive retry loop: gate each attempt on
-    # a cheap liveness probe and keep trying for up to ~45 min before
-    # falling back to the last good in-round measurement (marked stale)
-    deadline = time.time() + 45 * 60
+    # a cheap liveness probe and keep trying for up to ~30 min before
+    # falling back to the last good in-round measurement (marked stale) —
+    # short enough to beat any external timeout on the bench run itself
+    deadline = time.time() + 30 * 60
     while not _tunnel_alive():
         log("bench: tunnel probe failed; waiting for recovery")
         if time.time() > deadline:
