@@ -22,6 +22,8 @@ OUT = "/tmp/chip_playbook.json"
 CHILD = r"""
 import json, os, sys, time
 import jax
+if os.environ.get("TILER_TPU_PLATFORM"):  # host-only smoke runs
+    jax.config.update("jax_platforms", os.environ["TILER_TPU_PLATFORM"])
 jax.config.update("jax_compilation_cache_dir", "/tmp/tiler_tpu_jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 sys.path.insert(0, %(root)r)
@@ -30,10 +32,15 @@ from tiler_tpu.config import EncoderSettings
 from tiler_tpu.pipeline.encoder import Encoder
 
 F = int(os.environ.get("PB_FRAMES", "16"))
-clip = synthetic_clip(F, 720, 1280)
+W = int(os.environ.get("PB_W", "1280"))
+H = int(os.environ.get("PB_H", "720"))
+clip = synthetic_clip(F, H, W)
 settings = EncoderSettings(
-    palette_count=1024, palette_size=16, motion_predict_radius=32,
-    global_tiling_quality_based_tile_count=7.0, epu_knn_k=64,
+    palette_count=int(os.environ.get("PB_PALETTES", "1024")),
+    palette_size=16,
+    motion_predict_radius=int(os.environ.get("PB_RADIUS", "32")),
+    global_tiling_quality_based_tile_count=7.0,
+    epu_knn_k=int(os.environ.get("PB_EPU_K", "64")),
 )
 for kv in os.environ.get("PB_SETTINGS", "").split(","):
     if kv:
@@ -114,7 +121,7 @@ def main():
         if isinstance(v, dict) and "fps" in v:
             delta = ""
             if k != "baseline" and base.get("fps"):
-                delta = f"  ({v['fps']/base['fps']:+.1%} fps vs baseline)"
+                delta = f"  ({v['fps']/base['fps'] - 1:+.1%} fps vs baseline)"
             print(f"{k:14s} fps={v['fps']:<7} psnr={v.get('psnr')} "
                   f"bytes={v.get('bytes')}{delta}")
 
