@@ -521,36 +521,58 @@ struct Encoder {
 
   // fast-mode best match: hash-5 chain walk only (the closest-4 probe
   // was removed — see the measurement note in the body); stops early at
-  // nice_len (LzmaEnc numFastBytes analog)
+  // nice_len (LzmaEnc numFastBytes analog). The walk visits candidates
+  // most-recent-first, so improvements form a (len, dist) pairs list with
+  // both strictly increasing — LzmaEnc's GetOptimumFast runs a trade-down
+  // over exactly that list: give up one length when the previous pair's
+  // distance is >128x closer (ChangePair), since the longer match's
+  // distance slot costs more than a literal saves.
   void find_match_fast(const u8* data, size_t n, size_t pos, u32& best_len,
                        u32& best_dist, u32 nice_len) {
     best_len = 0;
     best_dist = 0;
     if (pos + 4 > n) return;
     u32 maxl = (u32)((n - pos < kMaxLen) ? (n - pos) : kMaxLen);
+    u32 plens[40], pdists[40];
+    int cnt = 0;
     // no closest-4 probe: measured on real GTM payloads it was ~18% of
     // parse time AND grew output ~1.4% — the len-2/3 near matches it
     // surfaces price worse than literals under the adapted model
-    if (pos + 5 <= n && best_len < nice_len) {
+    if (pos + 5 <= n) {
       int32_t cand = head5[hash5(data + pos)];
       int d = depth;
       const u8* a = data + pos;
+      u32 best = 0;
       while (cand >= 0 && d-- > 0) {
         const u8* b = data + cand;
-        if (best_len == 0 ||
-            (best_len < maxl && b[best_len] == a[best_len])) {
+        if (best == 0 || (best < maxl && b[best] == a[best])) {
           u32 l = extend(a, b, maxl);
-          if (l > best_len) {
-            best_len = l;
-            best_dist = (u32)(pos - cand - 1);
+          if (l > best) {
+            if (cnt < 40) {
+              plens[cnt] = l;
+              pdists[cnt] = (u32)(pos - cand - 1);
+              cnt++;
+            }
+            best = l;
             if (l >= nice_len || l >= maxl) break;
           }
         }
         cand = prevp[cand];
       }
     }
+    if (!cnt) return;
+    // GetOptimumFast trade-down (LzmaEnc.c): shorten by one while the
+    // previous candidate is exactly 1 shorter at a >128x closer distance
+    while (cnt > 1 && plens[cnt - 1] == plens[cnt - 2] + 1 &&
+           change_pair(pdists[cnt - 2], pdists[cnt - 1]))
+      cnt--;
+    best_len = plens[cnt - 1];
+    best_dist = pdists[cnt - 1];
     if (best_len < 2) best_len = 0;
-    // long distances need more length to pay off (price heuristic)
+    // long distances need more length to pay off (price heuristic). On
+    // GTM payloads these gates are nearly dead code — the hash-5 finder
+    // only surfaces len>=5 matches except on hash collisions (sweeping
+    // the len-2 gate 128..4096 moved the bench stream by 0 bytes)
     if (best_len == 2 && best_dist >= 512) best_len = 0;
     if (best_len == 3 && best_dist >= (1u << 15)) best_len = 0;
   }

@@ -27,14 +27,18 @@ if os.environ.get("TILER_TPU_PLATFORM"):  # host-only smoke runs
 jax.config.update("jax_compilation_cache_dir", "/tmp/tiler_tpu_jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 sys.path.insert(0, %(root)r)
-from bench import synthetic_clip
+from bench import synthetic_clip, realistic_clip
 from tiler_tpu.config import EncoderSettings
 from tiler_tpu.pipeline.encoder import Encoder
 
 F = int(os.environ.get("PB_FRAMES", "16"))
 W = int(os.environ.get("PB_W", "1280"))
 H = int(os.environ.get("PB_H", "720"))
-clip = synthetic_clip(F, H, W)
+if os.environ.get("PB_CONTENT") == "city":
+    clip = realistic_clip(F, H, W)
+    assert clip is not None, "reference demo stream unavailable"
+else:
+    clip = synthetic_clip(F, H, W)
 settings = EncoderSettings(
     palette_count=int(os.environ.get("PB_PALETTES", "1024")),
     palette_size=16,
@@ -99,6 +103,10 @@ def main():
     results = {"frames": frames, "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
 
     results["baseline"] = run_child("baseline", {}, frames)
+    # realistic content runs ~2.5x slower than synthetic (BENCH_r3_g);
+    # its synced split shows which stage pays for real-content corpora
+    results["city"] = run_child("city upscaled", {"PB_CONTENT": "city"},
+                                frames)
     results["ivf"] = run_child("ivf knn", {"TILER_TPU_KNN": "ivf"}, frames)
     results["ivf_p16"] = run_child(
         "ivf knn P=16", {"TILER_TPU_KNN": "ivf", "TILER_TPU_IVF_P": "16"},
