@@ -116,6 +116,13 @@ def main():
         frames)
     results["kmeans_i12"] = run_child(
         "kmeans 12 iters", {"PB_SETTINGS": "kmeans_iters=12"}, frames)
+    # VERDICT r2 #1 asks for PSNR "within 0.3 dB of r02 at equal corpus
+    # size": r02's 115,537-tile corpus was the tie-block overshoot bug
+    # (2x the derived budget), so pin its corpus explicitly and show the
+    # fixed rate control reaches at least r02's quality there
+    results["corpus_r02"] = run_child(
+        "corpus pinned at r02's 115537",
+        {"PB_SETTINGS": "global_tiling_tile_count=115537"}, frames)
     if not quick:
         for blk in (2048, 4096):
             results[f"tk_blk_{blk}"] = run_child(
