@@ -222,7 +222,7 @@ def _supervised():
     while not _tunnel_alive():
         log("bench: tunnel probe failed; waiting for recovery")
         if time.time() > deadline:
-            return _emit_stale("tunnel down for 45 min before bench")
+            return _emit_stale("tunnel down for 30 min before bench")
         time.sleep(120)
 
     for attempt in range(3):
