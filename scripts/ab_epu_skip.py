@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+if os.environ.get("TILER_TPU_PLATFORM"):  # host-only smoke runs
+    jax.config.update("jax_platforms", os.environ["TILER_TPU_PLATFORM"])
 jax.config.update("jax_compilation_cache_dir", "/tmp/tiler_tpu_jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
@@ -27,10 +29,13 @@ def main():
     from tiler_tpu.pipeline.motion import tile_features_raster
     from tiler_tpu.ops.color import rgb_to_yuv
 
-    F, H, W = 16, 720, 1280
+    F = int(os.environ.get("PB_FRAMES", "16"))
+    H = int(os.environ.get("PB_H", "720"))
+    W = int(os.environ.get("PB_W", "1280"))
     clip = realistic_clip(F, H, W) if "city" in sys.argv else synthetic_clip(F, H, W)
     settings = EncoderSettings(
-        palette_count=1024, palette_size=16, motion_predict_radius=32,
+        palette_count=int(os.environ.get("PB_PALETTES", "1024")),
+        palette_size=16, motion_predict_radius=32,
         global_tiling_quality_based_tile_count=7.0, epu_knn_k=64,
     )
     enc = Encoder(settings, log=lambda *a: None)
