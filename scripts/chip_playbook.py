@@ -116,6 +116,8 @@ def main():
         frames)
     results["kmeans_i12"] = run_child(
         "kmeans 12 iters", {"PB_SETTINGS": "kmeans_iters=12"}, frames)
+    results["epu_g8"] = run_child(
+        "int8 EPU G table", {"TILER_TPU_EPU_G8": "1"}, frames)
     # VERDICT r2 #1 asks for PSNR "within 0.3 dB of r02 at equal corpus
     # size": r02's 115,537-tile corpus was the tie-block overshoot bug
     # (2x the derived budget), so pin its corpus explicitly and show the
@@ -140,6 +142,7 @@ def main():
         "ivf_p16": {"TILER_TPU_KNN": "ivf", "TILER_TPU_IVF_P": "16"},
         "motion_d48": {"PB_SETTINGS": "motion_rank_dims=48"},
         "kmeans_i12": {"PB_SETTINGS": "kmeans_iters=12"},
+        "epu_g8": {"TILER_TPU_EPU_G8": "1"},
         "tk_blk_2048": {"TILER_TPU_TK_BLK": "2048"},
         "tk_blk_4096": {"TILER_TPU_TK_BLK": "4096"},
     }

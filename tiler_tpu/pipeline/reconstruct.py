@@ -194,7 +194,7 @@ def _tile_quad(G, S: int):
 
 @functools.partial(jax.jit, static_argnames=("S", "cell_chunk"))
 def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int,
-                  Q=None):
+                  Q=None, g_inv=None):
     """Cartesian re-rank over all cells via a scan over cell chunks.
 
     feats [B, 192]; cand_idx/cand_pal [B, kk] sorted ascending; G [T,64,S];
@@ -214,6 +214,7 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
     w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
     wf = w.transpose(1, 2, 0).reshape(64, 3)  # [vu, c]
     if Q is None:
+        assert g_inv is None, "int8 G requires a coherently-built Q"
         Q = _tile_quad(G, S)
     tri_i, tri_j = np.triu_indices(S)
     # per-palette outer products at triangle indices: [P, 3*ntri] (1.7MB
@@ -232,8 +233,15 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
         ci = jax.lax.dynamic_slice(cip, (i * cell_chunk, 0), (cell_chunk, kk))
         cp = jax.lax.dynamic_slice(cpp, (i * cell_chunk, 0), (cell_chunk, kp))
         Gi = G[ci]  # [b, kk, 64, S] (bf16: ranking only — winners get an
-        # exact fp32 re-evaluation in _knn_phase)
+        # exact fp32 re-evaluation in _knn_phase; int8 when g_inv is set:
+        # the gather is the EPU's largest cost, int8 halves its bytes)
         ftw = f.reshape(-1, 3, 64).transpose(0, 2, 1) * wf[None]  # [b, 64, 3]
+        if g_inv is not None:
+            # per-DCT-coefficient dequant: C = sum_v (Gi8[v]/s[v])·ftw[v]
+            # = sum_v Gi8[v]·(ftw[v]/s[v]) — v is contracted, so the
+            # scale folds into ftw for free; int8 -> bf16 is exact (+-127)
+            ftw = ftw * g_inv[None, :, None]
+            Gi = Gi.astype(jnp.bfloat16)
         C = jnp.einsum("bkvs,bvc->bksc", Gi, ftw.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)  # [b, kk, S, 3]
         Py = pal_yuv[cp]  # [b, kp, S, 3] f32
@@ -275,7 +283,7 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
 def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
                     kk: int, pal_k: int, S: int, cell_chunk: int,
                     epu: bool, int16: bool, pallas_topk: bool = False,
-                    ivf=None, ivf_probes: int = 8):
+                    ivf=None, ivf_probes: int = 8, g_inv=None):
     """Phase A for ALL frames in one device program (lax.map runs frames
     sequentially, so the [cells, Tpad] ranking matrix is a per-iteration
     transient) — one dispatch + one packed d2h instead of per-frame round
@@ -326,7 +334,7 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
             cand_pal = pal_initial[idx[:, :pal_k]]
             t, p, _ = _epu_rank_all(
                 feats, cand_idx, cand_pal, G, pal_yuv, S,
-                cell_chunk=cell_chunk, Q=Q,
+                cell_chunk=cell_chunk, Q=Q, g_inv=g_inv,
             )
             exact = _exact_choice_err(feats, t, p, pp, palettes, int16=int16)
         # pack (tile, pal) into one word + err bits: [2, N] i32 halves the
@@ -424,15 +432,29 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
 
         ivf_state = build_ivf(dsj)
         pallas_topk = False
+    g_inv = None
     if epu:
         # NOTE: a global [T, P] norm TABLE indexed per (tile, palette) pair
         # was measured 15x SLOWER on v5e (scalar gathers, ~60M elem/s); the
         # formulation here keeps the quadratic term factored as row-gathers
         # + matmuls instead (see _tile_quad).
-        G = _indicator_dcts(
-            state.corpus_pal_pixels, settings.palette_size
-        ).astype(jnp.bfloat16)
-        Q = _tile_quad(G, settings.palette_size)  # [T, 3*S*S] f32, once
+        Gf = _indicator_dcts(state.corpus_pal_pixels, settings.palette_size)
+        if os.environ.get("TILER_TPU_EPU_G8") == "1":
+            # int8 G table with per-DCT-coefficient scales: the per-cell
+            # Gi gather is the EPU's largest cost (12.8 ms/frame at 720p
+            # defaults, PERF.md) and int8 halves its bytes. Q MUST be
+            # built from the same dequantized values the C term sees —
+            # an exact-Q/quantized-C mix decoheres the norm expansion
+            # (measured: 64% winner agreement vs 96% coherent, CIF/256).
+            vmax = jnp.maximum(jnp.max(jnp.abs(Gf), axis=(0, 2)), 1e-6)
+            g_scale = 127.0 / vmax  # [64]
+            G = jnp.round(Gf * g_scale[None, :, None]).astype(jnp.int8)
+            g_inv = (1.0 / g_scale).astype(jnp.float32)
+            Gdq = (G.astype(jnp.float32) * g_inv[None, :, None])
+            Q = _tile_quad(Gdq.astype(jnp.bfloat16), settings.palette_size)
+        else:
+            G = Gf.astype(jnp.bfloat16)
+            Q = _tile_quad(G, settings.palette_size)  # [T, 3*S*S] f32, once
     else:
         G = jnp.zeros((1, 64, S), jnp.bfloat16)
         Q = jnp.zeros((1, 3 * S * S), jnp.float32)
@@ -510,7 +532,7 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
                     palettes_dev, kk=use_kk, pal_k=use_pal_k, S=S,
                     cell_chunk=cell_chunk, epu=use_epu,
                     int16=settings.int16_features, pallas_topk=use_pallas,
-                    ivf=ivf_state, ivf_probes=ivf_probes,
+                    ivf=ivf_state, ivf_probes=ivf_probes, g_inv=g_inv,
                 ).reshape(2, -1))
             packed = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
             return selp, packed
@@ -585,6 +607,7 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
             t, p, _ = _epu_rank_all(
                 feats, cand_idx, cand_pal, G, pal_yuv,
                 settings.palette_size, cell_chunk=cell_chunk, Q=Q,
+                g_inv=g_inv,
             )
             e = _exact_choice_err(feats, t, p, pp_dev, palettes_dev,
                                   int16=settings.int16_features)
