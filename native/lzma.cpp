@@ -548,11 +548,10 @@ struct Encoder {
         if (best == 0 || (best < maxl && b[best] == a[best])) {
           u32 l = extend(a, b, maxl);
           if (l > best) {
-            if (cnt < 40) {
-              plens[cnt] = l;
-              pdists[cnt] = (u32)(pos - cand - 1);
-              cnt++;
-            }
+            if (cnt == 40) cnt--;  // keep the final (longest) pair exact
+            plens[cnt] = l;
+            pdists[cnt] = (u32)(pos - cand - 1);
+            cnt++;
             best = l;
             if (l >= nice_len || l >= maxl) break;
           }
@@ -562,10 +561,14 @@ struct Encoder {
     }
     if (!cnt) return;
     // GetOptimumFast trade-down (LzmaEnc.c): shorten by one while the
-    // previous candidate is exactly 1 shorter at a >128x closer distance
-    while (cnt > 1 && plens[cnt - 1] == plens[cnt - 2] + 1 &&
-           change_pair(pdists[cnt - 2], pdists[cnt - 1]))
-      cnt--;
+    // previous candidate is exactly 1 shorter at a >128x closer
+    // distance. LzmaEnc accepts a >= numFastBytes match immediately
+    // without this loop — match that (a traded-down nice_len match
+    // would also re-enter the lazy probe and defer, pure waste).
+    if (plens[cnt - 1] < nice_len)
+      while (cnt > 1 && plens[cnt - 1] == plens[cnt - 2] + 1 &&
+             change_pair(pdists[cnt - 2], pdists[cnt - 1]))
+        cnt--;
     best_len = plens[cnt - 1];
     best_dist = pdists[cnt - 1];
     if (best_len < 2) best_len = 0;

@@ -33,6 +33,7 @@ def main():
     H = int(os.environ.get("PB_H", "720"))
     W = int(os.environ.get("PB_W", "1280"))
     clip = realistic_clip(F, H, W) if "city" in sys.argv else synthetic_clip(F, H, W)
+    assert clip is not None, "reference demo stream unavailable"
     settings = EncoderSettings(
         palette_count=int(os.environ.get("PB_PALETTES", "1024")),
         palette_size=16, motion_predict_radius=32,

@@ -3,9 +3,12 @@
 
 Runs, in order, each in a fresh child process (env knobs bind at
 module import): a synced-step bench split at reference defaults, the
-IVF KNN A/B, and the TK-dither block-width sweep. Writes everything to
-/tmp/chip_playbook.json and prints a summary. ~15-25 min total with a
-warm compile cache.
+realistic-content (city) split, the IVF KNN / motion-dims / kmeans-iters
+/ int8-G A/Bs, the equal-corpus quality point, the TK-dither block-width
+sweep, and finally an auto-composed combo of every winning flag. Writes
+everything to /tmp/chip_playbook.json and prints a summary. Budget
+~45-75 min with a warm compile cache (11-12 full-encode children; city
+runs ~2.5x slower than synthetic).
 
 Usage: python scripts/chip_playbook.py [--quick]
   --quick: 8 frames instead of 16, skip the TK sweep

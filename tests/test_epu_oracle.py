@@ -147,13 +147,8 @@ def test_epu_int8_g_table_near_bf16():
                                 jnp.asarray(cand_pal), Gb, pal_yuv, S,
                                 cell_chunk=16, Q=Qb)
 
-    vmax = jnp.maximum(jnp.max(jnp.abs(Gf), axis=(0, 2)), 1e-6)
-    g_scale = 127.0 / vmax
-    G8 = jnp.round(Gf * g_scale[None, :, None]).astype(jnp.int8)
+    G8, g_inv, Q8 = R._quantize_g8(Gf, S)  # the production quantizer
     assert G8.dtype == jnp.int8
-    g_inv = (1.0 / g_scale).astype(jnp.float32)
-    Gdq = G8.astype(jnp.float32) * g_inv[None, :, None]
-    Q8 = R._tile_quad(Gdq.astype(jnp.bfloat16), S)
     t1, p1, _ = R._epu_rank_all(feats, jnp.asarray(cand_idx),
                                 jnp.asarray(cand_pal), G8, pal_yuv, S,
                                 cell_chunk=16, Q=Q8, g_inv=g_inv)

@@ -167,11 +167,14 @@ def _topk_oneshot(feats, ds, k: int, Tpad: int):
 
 
 @functools.partial(jax.jit, static_argnames=("S",))
-def _tile_quad(G, S: int):
+def _tile_quad(G, S: int, v_weight=None):
     """Per-tile quadratic form, packed upper triangle:
     Q[t, (c, s<=s')] = sum_v wf[v,c]^2 G[t,v,s] G[t,v,s'] (off-diagonal
     entries pre-doubled, so quad = Q . R with R[j,(c,s<=s')] =
-    Py[j,s,c] Py[j,s',c]).
+    Py[j,s,c] Py[j,s',c]). `v_weight` [64] scales wf^2 per DCT
+    coefficient — the int8 G path folds its dequant g_inv^2 here so Q is
+    built from the int8 values directly (exact in f32, no dequantized
+    [T,64,S] f32 copy of G is ever materialized).
 
     With it, |rendered feature|^2 of the pair (tile t, palette j) is a dot
     product — the whole [T, P] quadratic term of the cartesian error
@@ -181,6 +184,8 @@ def _tile_quad(G, S: int):
     and contraction width S*S -> S(S+1)/2. [T, 3*S*(S+1)/2] float32."""
     w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
     wf2 = (w * w).transpose(1, 2, 0).reshape(64, 3)  # [v, c]
+    if v_weight is not None:
+        wf2 = wf2 * v_weight[:, None]
     tri_i, tri_j = np.triu_indices(S)
     dbl = jnp.asarray((tri_i != tri_j) + 1.0, jnp.float32)  # [ntri]
     Gf = G.astype(jnp.float32)
@@ -190,6 +195,22 @@ def _tile_quad(G, S: int):
         for c in range(3)
     ]
     return jnp.stack(outs, axis=1).reshape(G.shape[0], -1)
+
+
+def _quantize_g8(Gf, S: int):
+    """int8 EPU G table (TILER_TPU_EPU_G8): per-DCT-coefficient scales
+    (G ranges differ ~20x across coefficients — a single global scale
+    measured only 90.5% winner agreement vs 96.3%). Returns (G8, g_inv,
+    Q) with Q built COHERENTLY from the same int8 values the C term
+    consumes, folding g_inv^2 into the quad weights — an exact-Q /
+    quantized-C mix decoheres the norm expansion (measured 64% winner
+    agreement at CIF/256)."""
+    vmax = jnp.maximum(jnp.max(jnp.abs(Gf), axis=(0, 2)), 1e-6)
+    g_scale = 127.0 / vmax  # [64]
+    G8 = jnp.round(Gf * g_scale[None, :, None]).astype(jnp.int8)
+    g_inv = (1.0 / g_scale).astype(jnp.float32)
+    Q = _tile_quad(G8, S, v_weight=g_inv * g_inv)
+    return G8, g_inv, Q
 
 
 @functools.partial(jax.jit, static_argnames=("S", "cell_chunk"))
@@ -440,18 +461,10 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
         # + matmuls instead (see _tile_quad).
         Gf = _indicator_dcts(state.corpus_pal_pixels, settings.palette_size)
         if os.environ.get("TILER_TPU_EPU_G8") == "1":
-            # int8 G table with per-DCT-coefficient scales: the per-cell
-            # Gi gather is the EPU's largest cost (12.8 ms/frame at 720p
-            # defaults, PERF.md) and int8 halves its bytes. Q MUST be
-            # built from the same dequantized values the C term sees —
-            # an exact-Q/quantized-C mix decoheres the norm expansion
-            # (measured: 64% winner agreement vs 96% coherent, CIF/256).
-            vmax = jnp.maximum(jnp.max(jnp.abs(Gf), axis=(0, 2)), 1e-6)
-            g_scale = 127.0 / vmax  # [64]
-            G = jnp.round(Gf * g_scale[None, :, None]).astype(jnp.int8)
-            g_inv = (1.0 / g_scale).astype(jnp.float32)
-            Gdq = (G.astype(jnp.float32) * g_inv[None, :, None])
-            Q = _tile_quad(Gdq.astype(jnp.bfloat16), settings.palette_size)
+            # int8 G table: the per-cell Gi gather is the EPU's largest
+            # cost (12.8 ms/frame at 720p defaults, PERF.md) and int8
+            # halves its bytes (see _quantize_g8 for the coherence rules)
+            G, g_inv, Q = _quantize_g8(Gf, settings.palette_size)
         else:
             G = Gf.astype(jnp.bfloat16)
             Q = _tile_quad(G, settings.palette_size)  # [T, 3*S*S] f32, once
