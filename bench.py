@@ -183,16 +183,24 @@ def main():
     print(json.dumps(result))
 
 
-_LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "BENCH_LAST_GOOD.json")
+_LAST_GOOD = os.environ.get(
+    "TILER_BENCH_LAST_GOOD",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH_LAST_GOOD.json"),
+)
 
 
-def _tunnel_alive(timeout_s: int = 150) -> bool:
+def _tunnel_alive() -> bool:
     """Cheap child-process probe: one tiny device matmul. The axon tunnel
     wedges by futex-waiting forever inside backend init, so the probe
-    must be a separate process we can abandon."""
+    must be a separate process we can abandon. TILER_BENCH_FAKE_PROBE
+    (dead|alive) overrides for supervisor tests."""
     import subprocess
 
+    fake = os.environ.get("TILER_BENCH_FAKE_PROBE")
+    if fake:
+        return fake == "alive"
+    timeout_s = int(os.environ.get("TILER_BENCH_PROBE_TIMEOUT_S", 150))
     code = ("import jax,jax.numpy as jnp;"
             "x=jnp.ones((128,128));print(float((x@x).sum()))")
     try:
@@ -209,21 +217,40 @@ def _supervised():
     The axon tunnel occasionally drops a client mid-operation (the
     remote restarts); the client then futex-waits forever. A wedged
     child shows no new stderr output AND ~no CPU for minutes — kill and
-    retry (fresh clients reconnect fine once the remote is back)."""
+    retry (fresh clients reconnect fine once the remote is back).
+
+    Outage discipline (round-3 postmortem, BENCH_r03 rc=124/parsed=null):
+    an external timeout on the whole bench run can SIGKILL us at any
+    moment, so a parseable JSON line must hit stdout BEFORE any long
+    wait. On the FIRST failed probe we immediately emit the last good
+    in-round measurement marked stale, then keep probing in whatever
+    time remains; if the tunnel recovers, the real measurement is
+    printed as a later line and supersedes the stale one (the driver
+    parses the last JSON line)."""
     import signal
     import subprocess
     import threading
 
-    # tunnel outages can outlast a naive retry loop: gate each attempt on
-    # a cheap liveness probe and keep trying for up to ~30 min before
-    # falling back to the last good in-round measurement (marked stale) —
-    # short enough to beat any external timeout on the bench run itself
-    deadline = time.time() + 30 * 60
-    while not _tunnel_alive():
-        log("bench: tunnel probe failed; waiting for recovery")
-        if time.time() > deadline:
-            return _emit_stale("tunnel down for 30 min before bench")
-        time.sleep(120)
+    retry_sleep = int(os.environ.get("TILER_BENCH_PROBE_RETRY_S", 60))
+    outage_budget = int(os.environ.get("TILER_BENCH_OUTAGE_BUDGET_S", 3000))
+    stale_emitted = False
+    if not _tunnel_alive():
+        log("bench: first tunnel probe failed; emitting stale fallback "
+            "NOW, then waiting for recovery")
+        _emit_stale("tunnel down at bench start (will overwrite with a "
+                    "real measurement if it recovers in time)")
+        stale_emitted = True
+        deadline = time.time() + outage_budget
+        while True:
+            if time.time() > deadline:
+                log("bench: tunnel never recovered within budget; "
+                    "stale line stands")
+                return 0
+            time.sleep(retry_sleep)
+            if _tunnel_alive():
+                log("bench: tunnel recovered; running the real bench")
+                break
+            log("bench: tunnel probe failed; waiting for recovery")
 
     for attempt in range(3):
         env = dict(os.environ, TILER_BENCH_CHILD="1")
@@ -277,6 +304,7 @@ def _supervised():
         out = (chunks[0] if chunks else b"").decode()
         if p.returncode == 0 and out.strip():
             sys.stdout.write(out)
+            sys.stdout.flush()
             try:  # keep the last good measurement for outage fallback
                 json.loads(out.strip().splitlines()[-1])
                 with open(_LAST_GOOD, "w") as f:
@@ -286,28 +314,36 @@ def _supervised():
             return 0
         log(f"bench child exit rc={p.returncode}; retrying")
         time.sleep(10)
-    # stale fallback ONLY masks outages: if the tunnel is healthy the
-    # child failed for a code reason — surface that as a real failure
-    # instead of reporting old numbers with exit 0
+    # children exhausted. A healthy tunnel means a code regression, not
+    # an outage: still print a stale line (the driver must always get a
+    # parseable JSON) but exit nonzero so the failure is visible.
     if _tunnel_alive():
         log("bench: children failed but the tunnel probe passes — "
-            "real failure, no stale fallback")
+            "code regression, emitting stale line with rc=1")
+        if not stale_emitted:
+            _emit_stale("bench child failed with a HEALTHY tunnel — "
+                        "code regression, investigate")
         return 1
-    return _emit_stale("bench child kept stalling/failing")
+    if not stale_emitted:
+        _emit_stale("bench child kept stalling/failing (tunnel down)")
+    return 0
 
 
 def _emit_stale(reason: str) -> int:
-    """Last resort during a tunnel outage: emit the most recent good
-    in-round measurement, explicitly marked stale, rather than nothing."""
+    """Outage fallback: print the most recent good in-round measurement,
+    explicitly marked stale. ALWAYS prints a parseable JSON line — if no
+    last-good file exists, a zero-value record with the reason."""
     try:
         with open(_LAST_GOOD) as f:
             result = json.loads(f.read())
     except Exception:
-        return 1
+        result = {"metric": "encode_fps_720p", "value": 0.0,
+                  "unit": "frames/s", "vs_baseline": 0.0,
+                  "error": "no last-good measurement available"}
     result["stale"] = True
     result["stale_reason"] = reason
     log(f"bench: emitting last good measurement (STALE: {reason})")
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
     return 0
 
 
