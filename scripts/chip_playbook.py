@@ -52,7 +52,8 @@ settings = EncoderSettings(
 for kv in os.environ.get("PB_SETTINGS", "").split(","):
     if kv:
         k, v = kv.split("=")
-        setattr(settings, k, type(getattr(settings, k))(v))
+        t = type(getattr(settings, k))
+        setattr(settings, k, bool(int(v)) if t is bool else t(v))
 # warm (compiles)
 enc = Encoder(settings, log=lambda *a: None)
 enc.run_all(clip, fps=25.0, out_path="/tmp/pb.gtm")
@@ -110,17 +111,27 @@ def main():
     # its synced split shows which stage pays for real-content corpora
     results["city"] = run_child("city upscaled", {"PB_CONTENT": "city"},
                                 frames)
-    results["ivf"] = run_child("ivf knn", {"TILER_TPU_KNN": "ivf"}, frames)
+    results["ivf"] = run_child("ivf knn", {"PB_SETTINGS": "knn_backend=ivf"},
+                               frames)
     results["ivf_p16"] = run_child(
-        "ivf knn P=16", {"TILER_TPU_KNN": "ivf", "TILER_TPU_IVF_P": "16"},
+        "ivf knn P=16", {"PB_SETTINGS": "knn_backend=ivf,ivf_probes=16"},
         frames)
     results["motion_d48"] = run_child(
         "motion rank dims 48", {"PB_SETTINGS": "motion_rank_dims=48"},
         frames)
+    # r=6 -> 108 dims: under one 128-lane tile (192 occupies 1.5); the
+    # d48 child measured slower from sub-128 padding, 108 pads only 16%
+    results["motion_d108"] = run_child(
+        "motion rank dims 108", {"PB_SETTINGS": "motion_rank_dims=108"},
+        frames)
+    # halve the EPU candidate list (the re-rank is the largest reconstruct
+    # block); the combo filter's psnr/bytes gates decide if quality holds
+    results["epu_k32"] = run_child(
+        "EPU knn k=32", {"PB_SETTINGS": "epu_knn_k=32"}, frames)
     results["kmeans_i12"] = run_child(
         "kmeans 12 iters", {"PB_SETTINGS": "kmeans_iters=12"}, frames)
     results["epu_g8"] = run_child(
-        "int8 EPU G table", {"TILER_TPU_EPU_G8": "1"}, frames)
+        "int8 EPU G table", {"PB_SETTINGS": "epu_int8_tables=1"}, frames)
     # VERDICT r2 #1 asks for PSNR "within 0.3 dB of r02 at equal corpus
     # size": r02's 115,537-tile corpus was the tie-block overshoot bug
     # (2x the derived budget), so pin its corpus explicitly and show the
@@ -141,11 +152,13 @@ def main():
     combo_env = {}
     combo_keys = []
     candidates = {
-        "ivf": {"TILER_TPU_KNN": "ivf"},
-        "ivf_p16": {"TILER_TPU_KNN": "ivf", "TILER_TPU_IVF_P": "16"},
+        "ivf": {"PB_SETTINGS": "knn_backend=ivf"},
+        "ivf_p16": {"PB_SETTINGS": "knn_backend=ivf,ivf_probes=16"},
         "motion_d48": {"PB_SETTINGS": "motion_rank_dims=48"},
+        "motion_d108": {"PB_SETTINGS": "motion_rank_dims=108"},
+        "epu_k32": {"PB_SETTINGS": "epu_knn_k=32"},
         "kmeans_i12": {"PB_SETTINGS": "kmeans_iters=12"},
-        "epu_g8": {"TILER_TPU_EPU_G8": "1"},
+        "epu_g8": {"PB_SETTINGS": "epu_int8_tables=1"},
         "tk_blk_2048": {"TILER_TPU_TK_BLK": "2048"},
         "tk_blk_4096": {"TILER_TPU_TK_BLK": "4096"},
     }

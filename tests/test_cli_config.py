@@ -19,6 +19,52 @@ def test_ini_roundtrip():
     assert s2.global_tiling_use_target_psnr is True
 
 
+def test_tpu_knobs_roundtrip_ini():
+    """Every output-affecting TPU knob lives in the [TPU] INI section so
+    a stream reproduces from its embedded settings (VERDICT r03 #6: env
+    flags like EPU_G8 made streams non-reproducible)."""
+    s = EncoderSettings(knn_backend="ivf", ivf_probes=16,
+                        epu_int8_tables=True, epu_pal_k=8,
+                        kmeans_iters=12, phase_b_motion="research",
+                        lzma_mode="fast", int16_features=True,
+                        count_predicted_tiles=True)
+    text = s.to_ini()
+    assert "[TPU]" in text and "KnnBackend=ivf" in text
+    s2 = EncoderSettings.from_ini(text)
+    assert s2.knn_backend == "ivf"
+    assert s2.ivf_probes == 16
+    assert s2.epu_int8_tables is True
+    assert s2.epu_pal_k == 8
+    assert s2.kmeans_iters == 12
+    assert s2.phase_b_motion == "research"
+    assert s2.lzma_mode == "fast"
+    assert s2.int16_features is True
+    assert s2.count_predicted_tiles is True
+
+
+def test_stream_embedded_settings_reproduce_config(tmp_path):
+    """The settings text embedded in a written stream parses back to the
+    encode's own output-affecting configuration."""
+    from tiler_tpu.pipeline.encoder import Encoder
+    from tiler_tpu.bitstream.gtm import GTMReader
+
+    rng = np.random.RandomState(3)
+    clip = rng.randint(0, 255, (3, 24, 32, 3), dtype=np.uint8)
+    s = EncoderSettings(palette_count=4, palette_size=8,
+                        motion_predict_radius=2, epu_knn_k=4,
+                        kmeans_iters=3, epu_int8_tables=True,
+                        global_tiling_quality_based_tile_count=2.0)
+    p = str(tmp_path / "o.gtm")
+    Encoder(s, log=lambda *a: None).run_all(clip, fps=25.0, out_path=p)
+    text = GTMReader.read(p).settings_text
+    assert text, "stream must embed its settings"
+    s2 = EncoderSettings.from_ini(text)
+    assert s2.epu_int8_tables is True
+    assert s2.kmeans_iters == 3
+    assert s2.epu_knn_k == 4
+    assert s2.palette_count == 4
+
+
 def test_reads_reference_style_ini(tmp_path):
     # key surface parity with the reference encoder's own settings dumps
     ini = """[Load]

@@ -117,7 +117,7 @@ def test_epu_decisive_case_exact():
 
 
 def test_epu_int8_g_table_near_bf16():
-    """TILER_TPU_EPU_G8 path: the int8 G table (per-DCT-coefficient
+    """settings.epu_int8_tables path: the int8 G table (per-DCT-coefficient
     scales, Q built coherently from the dequantized values) must pick
     winners whose exact errors sit within ~1% of the bf16 path's on
     average. Measured at CIF/256: 96.3% winner agreement, +0.63% mean

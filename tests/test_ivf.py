@@ -92,7 +92,7 @@ def test_ivf_gids_are_valid_permutation():
 
 
 def test_phase_a_ivf_flag_end_to_end(tmp_path):
-    """TILER_TPU_KNN=ivf runs the full pipeline and produces a decodable
+    """knn_backend=ivf runs the full pipeline and produces a decodable
     stream within 1 dB of the brute-force run."""
     from tiler_tpu.config import EncoderSettings
     from tiler_tpu.pipeline.encoder import Encoder
@@ -104,26 +104,21 @@ def test_phase_a_ivf_flag_end_to_end(tmp_path):
     clip = np.stack([np.roll(base + rng.randint(0, 9, base.shape,
                                                 dtype=np.uint8),
                              (2 * f, 3 * f), (0, 1)) for f in range(5)])
-    s = EncoderSettings(palette_count=8, palette_size=16,
-                        motion_predict_radius=4, epu_knn_k=8,
-                        global_tiling_quality_based_tile_count=4.0,
-                        kmeans_iters=4)
 
-    def run(flag):
-        os.environ["TILER_TPU_KNN"] = flag
+    def run(backend):
         # the tiny test corpus is far below the production 4096-tile
         # gate: drop it so the IVF path actually engages (a gated-out
         # run would compare brute vs brute and test nothing)
-        os.environ["TILER_TPU_IVF_MIN_T"] = "1"
-        try:
-            enc = Encoder(s, log=lambda *a: None)
-            p = str(tmp_path / f"{flag}.gtm")
-            enc.run_all(clip, fps=25.0, out_path=p)
-            assert len(GTMDecoder(p).decode_frames()) == 5
-            return enc.state.total_psnr
-        finally:
-            os.environ.pop("TILER_TPU_KNN", None)
-            os.environ.pop("TILER_TPU_IVF_MIN_T", None)
+        s = EncoderSettings(palette_count=8, palette_size=16,
+                            motion_predict_radius=4, epu_knn_k=8,
+                            global_tiling_quality_based_tile_count=4.0,
+                            kmeans_iters=4, knn_backend=backend,
+                            ivf_min_corpus=1)
+        enc = Encoder(s, log=lambda *a: None)
+        p = str(tmp_path / f"{backend}.gtm")
+        enc.run_all(clip, fps=25.0, out_path=p)
+        assert len(GTMDecoder(p).decode_frames()) == 5
+        return enc.state.total_psnr
 
     brute = run("pallas")
     ivf = run("ivf")

@@ -84,6 +84,17 @@ class EncoderSettings:
     # and count into the TileSet (never emitted as commands — a larger
     # stream for no fidelity gain; off reproduces our smaller default)
     use_pallas_tk: bool = True  # Pallas Thomas Knoll kernel (falls back to XLA)
+    knn_backend: str = "pallas"  # phase-A corpus top-k backend:
+    # "pallas" (block top-k kernel), "xla" (lax.top_k over the distance
+    # matmul), or "ivf" (two-level inverted-file search, pipeline/ivf.py
+    # — approximate like the reference's ANN kd-trees, extern.pas:182-185;
+    # the EPU re-ranks survivors with exact errors)
+    ivf_probes: int = 8  # IVF blocks probed per query (recall knob)
+    ivf_min_corpus: int = 4096  # brute force below this corpus size
+    # (block probing only beats one matmul on large corpora)
+    epu_int8_tables: bool = False  # int8 EPU G table with coherent Q
+    # (halves the dominant Gi gather bytes; 96.3% winner agreement at
+    # CIF/256 with smoke PSNR at parity — docs/PERF.md)
     motion_rank_dims: int = 192  # candidate RANKING dims for motion search:
     # 3*r^2 low-frequency DCT coefficients per channel (192 = exact full
     # search; the winner's error is always exact 192-dim fp32). MEASURED
@@ -121,6 +132,27 @@ class EncoderSettings:
         ("Load", "ShotTransMaxSecondsPerKF", "shot_trans_max_seconds_per_kf", float),
         ("Load", "ShotTransMinSecondsPerKF", "shot_trans_min_seconds_per_kf", float),
         ("Load", "ShotTransCorrelLoThres", "shot_trans_correl_lo_thres", float),
+        # [TPU] — every OUTPUT-AFFECTING TPU-specific knob round-trips
+        # here so a stream reproduces from its embedded settings text
+        # (the reference embeds its full settings the same way,
+        # tilingencoder.pas:5331-5335); perf-only/platform knobs
+        # (use_pallas_tk, corpus_chunk, TILER_TPU_* profiling hooks)
+        # deliberately stay out.
+        ("TPU", "EpuKnnK", "epu_knn_k", int),
+        ("TPU", "EpuPalK", "epu_pal_k", int),
+        ("TPU", "KMeansIters", "kmeans_iters", int),
+        ("TPU", "Seed", "seed", int),
+        ("TPU", "ColorQuantizer", "color_quantizer", str),
+        ("TPU", "Int16Features", "int16_features", bool),
+        ("TPU", "PhaseBMotion", "phase_b_motion", str),
+        ("TPU", "LzmaMode", "lzma_mode", str),
+        ("TPU", "KnnSkipPerfectPred", "knn_skip_perfect_pred", bool),
+        ("TPU", "CountPredictedTiles", "count_predicted_tiles", bool),
+        ("TPU", "MotionRankDims", "motion_rank_dims", int),
+        ("TPU", "KnnBackend", "knn_backend", str),
+        ("TPU", "IvfProbes", "ivf_probes", int),
+        ("TPU", "IvfMinCorpus", "ivf_min_corpus", int),
+        ("TPU", "EpuInt8Tables", "epu_int8_tables", bool),
     )
 
     def to_ini(self) -> str:
@@ -158,7 +190,13 @@ class EncoderSettings:
                 idx = max(0, min(int(float(raw)), len(PSYVIS_MODES) - 1))
                 setattr(self, attr, PSYVIS_MODES[idx])
             elif typ is bool:
-                setattr(self, attr, bool(int(float(raw))))
+                # accept 0/1 (our to_ini) and True/False (hand-written
+                # INIs / FreePascal TIniFile style)
+                low = raw.strip().lower()
+                if low in ("true", "false"):
+                    setattr(self, attr, low == "true")
+                else:
+                    setattr(self, attr, bool(int(float(raw))))
             elif typ is int:
                 setattr(self, attr, int(float(raw)))
             elif typ is float:

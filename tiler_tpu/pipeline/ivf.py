@@ -19,7 +19,7 @@ instead of Tpad. Everything is static-shaped for XLA: the per-block
 query lists use a sort + capacity-K scatter (overflow drops are counted
 and bounded by the 8x slack), padded blocks rank at +inf.
 
-Gated by TILER_TPU_KNN=ivf (default: the Pallas/XLA brute path) until
+Gated by settings.knn_backend="ivf" (default: the Pallas/XLA brute path) until
 measured on the chip; the EPU re-ranks the survivors with exact errors,
 so moderate recall loss only perturbs candidate sets, not final errors.
 """

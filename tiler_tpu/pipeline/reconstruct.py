@@ -38,7 +38,6 @@ Deviations (both flag-controlled, A/B numbers in docs/PERF.md):
 from __future__ import annotations
 
 import functools
-import os
 from typing import Tuple
 
 import jax
@@ -198,7 +197,7 @@ def _tile_quad(G, S: int, v_weight=None):
 
 
 def _quantize_g8(Gf, S: int):
-    """int8 EPU G table (TILER_TPU_EPU_G8): per-DCT-coefficient scales
+    """int8 EPU G table (settings.epu_int8_tables): per-DCT-coefficient scales
     (G ranges differ ~20x across coefficients — a single global scale
     measured only 90.5% winner agreement vs 96.3%). Returns (G8, g_inv,
     Q) with Q built COHERENTLY from the same int8 values the C term
@@ -441,14 +440,14 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
         jax.default_backend() not in ("cpu",)
         and kk > 1
         and T >= 2 * kk * _TB
-        and os.environ.get("TILER_TPU_TOPK", "pallas") == "pallas"
+        and settings.knn_backend == "pallas"
     )
-    # IVF two-level corpus search (pipeline/ivf.py): opt-in candidate,
-    # needs a corpus large enough that block-probing beats one matmul
+    # IVF two-level corpus search (pipeline/ivf.py): approximate like
+    # the reference's ANN kd-trees (extern.pas:182-185); needs a corpus
+    # large enough that block-probing beats one matmul
     ivf_state = None
-    ivf_probes = int(os.environ.get("TILER_TPU_IVF_P", "8"))
-    ivf_min_t = int(os.environ.get("TILER_TPU_IVF_MIN_T", "4096"))
-    if os.environ.get("TILER_TPU_KNN") == "ivf" and T >= ivf_min_t:
+    ivf_probes = settings.ivf_probes
+    if settings.knn_backend == "ivf" and T >= settings.ivf_min_corpus:
         from .ivf import build_ivf
 
         ivf_state = build_ivf(dsj)
@@ -460,7 +459,7 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
         # formulation here keeps the quadratic term factored as row-gathers
         # + matmuls instead (see _tile_quad).
         Gf = _indicator_dcts(state.corpus_pal_pixels, settings.palette_size)
-        if os.environ.get("TILER_TPU_EPU_G8") == "1":
+        if settings.epu_int8_tables:
             # int8 G table: the per-cell Gi gather is the EPU's largest
             # cost (12.8 ms/frame at 720p defaults, PERF.md) and int8
             # halves its bytes (see _quantize_g8 for the coherence rules)
