@@ -40,8 +40,10 @@ def synthetic_clip(F, H, W, seed=0):
     frames = []
     for f in range(F):
         img = np.roll(base + noise, (3 * f, 5 * f), (0, 1))
-        x0 = (40 + 11 * f) % (W - 64)
-        y0 = (30 + 7 * f) % (H - 64)
+        # max(1, ...): keep tiny host-only smoke shapes (PB_W/PB_H below
+        # 128) from a zero modulo; the moving square just pins at 0,0
+        x0 = (40 + 11 * f) % max(1, W - 64)
+        y0 = (30 + 7 * f) % max(1, H - 64)
         img[y0 : y0 + 64, x0 : x0 + 64] = [220, 40, 40]
         frames.append(img)
     return np.stack(frames)

@@ -130,6 +130,14 @@ def main():
         "EPU knn k=32", {"PB_SETTINGS": "epu_knn_k=32"}, frames)
     results["kmeans_i12"] = run_child(
         "kmeans 12 iters", {"PB_SETTINGS": "kmeans_iters=12"}, frames)
+    # halo-blocked motion rank is the r4 default (bit-identical output;
+    # removes the 0.4 GB/frame shift stack) — this child REVERTS it so
+    # the unattended run proves the new default is not a regression
+    results["motion_halo_off"] = run_child(
+        "motion halo off (old full stack)", {"TILER_TPU_MOTION_BM": "0"},
+        frames)
+    results["motion_bm16"] = run_child(
+        "motion halo BM=16", {"TILER_TPU_MOTION_BM": "16"}, frames)
     results["epu_g8"] = run_child(
         "int8 EPU G table", {"PB_SETTINGS": "epu_int8_tables=1"}, frames)
     # VERDICT r2 #1 asks for PSNR "within 0.3 dB of r02 at equal corpus
@@ -159,6 +167,8 @@ def main():
         "epu_k32": {"PB_SETTINGS": "epu_knn_k=32"},
         "kmeans_i12": {"PB_SETTINGS": "kmeans_iters=12"},
         "epu_g8": {"PB_SETTINGS": "epu_int8_tables=1"},
+        "motion_halo_off": {"TILER_TPU_MOTION_BM": "0"},
+        "motion_bm16": {"TILER_TPU_MOTION_BM": "16"},
         "tk_blk_2048": {"TILER_TPU_TK_BLK": "2048"},
         "tk_blk_4096": {"TILER_TPU_TK_BLK": "4096"},
     }
@@ -175,7 +185,9 @@ def main():
         # fastest first, one variant per mutually-exclusive family
         for _, k, env in sorted(passing, reverse=True):
             fam = "ivf" if k.startswith("ivf") else (
-                "tk_blk" if k.startswith("tk_blk") else k)
+                "tk_blk" if k.startswith("tk_blk") else (
+                    "motion_bm" if k.startswith("motion_halo")
+                    or k.startswith("motion_bm") else k))
             if any(c == fam or c.startswith(fam) for c in combo_keys):
                 continue
             for ek, ev in env.items():

@@ -89,3 +89,32 @@ def test_motion_zero_shift_prefers_center():
     oy, ox, err = motion.motion_search(jnp.asarray(f), jnp.asarray(f), 8)
     assert np.all(np.asarray(oy) == 0) and np.all(np.asarray(ox) == 0)
     assert np.allclose(np.asarray(err), 0.0, atol=1e-2)
+
+
+def test_halo_blocked_rank_matches_unblocked():
+    """The halo-blocked rank contraction (lax.map over row blocks,
+    TILER_TPU_MOTION_BM) must select exactly the same vectors and errors
+    as the unblocked full-stack formulation — it is a memory layout
+    change, not an algorithm change."""
+    import os
+    import jax
+
+    rng = np.random.RandomState(7)
+    H, W = 96, 128
+    prev = rng.randint(0, 256, (H, W, 3)).astype(np.float32)
+    cur = np.roll(prev, (5, -7), (0, 1)) + rng.randint(0, 5, (H, W, 3))
+
+    def run(bm):
+        os.environ["TILER_TPU_MOTION_BM"] = bm
+        try:
+            # fresh trace per knob value (the env binds at trace time)
+            f = jax.jit(lambda a, b: motion._motion_core(a, b, 16))
+            return f(jnp.asarray(cur), jnp.asarray(prev))
+        finally:
+            os.environ.pop("TILER_TPU_MOTION_BM", None)
+
+    hy, hx, herr = run("8")
+    uy, ux, uerr = run("0")
+    assert np.array_equal(np.asarray(hy), np.asarray(uy))
+    assert np.array_equal(np.asarray(hx), np.asarray(ux))
+    assert np.array_equal(np.asarray(herr), np.asarray(uerr))

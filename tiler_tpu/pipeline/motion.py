@@ -25,6 +25,7 @@ well under the quantization noise, selection may differ on near-ties.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -304,17 +305,74 @@ def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False,
     # gaps away). The winner's error is recomputed exactly below.
     Fblk = Fblk_mn  # [mh, mw, 64, KR], already blocked by the field pass
     N2blk = N2blk_mn  # [mh, mw, 64]
-    neigh = jnp.stack(
-        [
-            tpad[NQ - 1 - qy : NQ - 1 - qy + mh, NQ - 1 - qx : NQ - 1 - qx + mw]
-            for qy in range(NQ)
-            for qx in range(NQ)
-        ],
-        axis=2,
-    )  # [mh, mw, NQ^2, KR]
-    D = jnp.einsum(
-        "mnsk,mnqk->mnqs", Fblk, neigh, preferred_element_type=jnp.bfloat16
-    )  # [mh, mw, NQ^2(q), 64(s)] — q-major: per-q slices keep s contiguous
+    # Halo-blocked rank contraction (ROADMAP #2): the naive form stacks
+    # all NQ^2 shifted copies of tpad ([mh, mw, NQ^2, KR] ~ 0.4 GB/720p
+    # frame at R=32) as the einsum's rhs. Instead, lax.map over row
+    # blocks: each step slices a (BM + NQ - 1)-row halo of tpad once and
+    # builds only its own [BM, mw, NQ^2, KR] shift stack (~33 MB
+    # transient at BM=8), with an identical per-position [64s, KR] x
+    # [KR, NQ^2 q] MXU contraction — same arithmetic, same results,
+    # peak memory down ~12x. (The Pallas version of this halo kernel is
+    # a measured dead end: Mosaic cannot lower the batched contraction,
+    # see PERF.md round-3 dead ends.)
+    # TILER_TPU_MOTION_BM: rows per block (perf-only knob, identical
+    # output); 0 falls back to the unblocked full-stack formulation so
+    # the chip playbook can A/B the halo path.
+    BM = int(os.environ.get("TILER_TPU_MOTION_BM", "8"))
+    if BM <= 0:
+        neigh = jnp.stack(
+            [
+                tpad[NQ - 1 - qy : NQ - 1 - qy + mh,
+                     NQ - 1 - qx : NQ - 1 - qx + mw]
+                for qy in range(NQ)
+                for qx in range(NQ)
+            ],
+            axis=2,
+        )  # [mh, mw, NQ^2, KR] — materializes ~0.4 GB at 720p/R=32
+        D = jnp.einsum(
+            "mnsk,mnqk->mnqs", Fblk, neigh,
+            preferred_element_type=jnp.bfloat16,
+        )
+        return _rank_merge(D, T, T2, N2blk, pen_np, th, tw, NQ, P,
+                           prev_rgb, int16, return_windows)
+    nblk = -(-mh // BM)
+    mhp = nblk * BM
+    tpad_h = jnp.pad(tpad, ((0, mhp - mh), (0, 0), (0, 0)))
+    Fblk_h = jnp.pad(Fblk, ((0, mhp - mh), (0, 0), (0, 0), (0, 0)))
+
+    def _rank_block(i):
+        halo = jax.lax.dynamic_slice(
+            tpad_h, (i * BM, 0, 0), (BM + NQ - 1, mw + NQ - 1, KR)
+        )
+        nb = jnp.stack(
+            [
+                halo[NQ - 1 - qy : NQ - 1 - qy + BM,
+                     NQ - 1 - qx : NQ - 1 - qx + mw]
+                for qy in range(NQ)
+                for qx in range(NQ)
+            ],
+            axis=2,
+        )  # [BM, mw, NQ^2, KR]
+        fb = jax.lax.dynamic_slice(
+            Fblk_h, (i * BM, 0, 0, 0), (BM, mw, 64, KR)
+        )
+        return jnp.einsum(
+            "mnsk,mnqk->mnqs", fb, nb, preferred_element_type=jnp.bfloat16
+        )
+
+    D = jax.lax.map(_rank_block, jnp.arange(nblk)).reshape(
+        mhp, mw, NQ * NQ, 64
+    )[:mh]  # [mh, mw, NQ^2(q), 64(s)] — q-major: per-q slices keep s contiguous
+    return _rank_merge(D, T, T2, N2blk, pen_np, th, tw, NQ, P,
+                       prev_rgb, int16, return_windows)
+
+
+def _rank_merge(D, T, T2, N2blk, pen_np, th, tw, NQ, P, prev_rgb,
+                int16, return_windows):
+    """Per-q (min, argmin) merge of the rank tensor D, then the exact
+    fp32 winner recompute. Shared by the halo-blocked and unblocked
+    rank formulations (identical inputs -> identical outputs)."""
+    H, W = prev_rgb.shape[0], prev_rgb.shape[1]
     # per-q (min, argmin) then a tiny [th, tw, NQ^2] merge: same
     # lexicographic (q-major, s-minor) tie winner as the flattened
     # argmin, without materializing the [th, tw, 4096] error tensor
