@@ -183,13 +183,22 @@ def main():
                     and v.get("bytes", 0) <= base.get("bytes", 1) * 1.02):
                 passing.append((v["fps"], k, env))
         # fastest first, one variant per mutually-exclusive family
+        def family(k):
+            if k.startswith("ivf"):
+                return "ivf"
+            if k.startswith("tk_blk"):
+                return "tk_blk"
+            if k.startswith("motion_halo") or k.startswith("motion_bm"):
+                return "motion_bm"
+            if k.startswith("motion_d"):
+                return "motion_dims"
+            return k
+
+        seen_fams = set()
         for _, k, env in sorted(passing, reverse=True):
-            fam = "ivf" if k.startswith("ivf") else (
-                "tk_blk" if k.startswith("tk_blk") else (
-                    "motion_bm" if k.startswith("motion_halo")
-                    or k.startswith("motion_bm") else k))
-            if any(c == fam or c.startswith(fam) for c in combo_keys):
+            if family(k) in seen_fams:
                 continue
+            seen_fams.add(family(k))
             for ek, ev in env.items():
                 if ek == "PB_SETTINGS" and combo_env.get(ek):
                     combo_env[ek] = combo_env[ek] + "," + ev
