@@ -140,6 +140,13 @@ def main():
         "motion halo BM=16", {"TILER_TPU_MOTION_BM": "16"}, frames)
     results["epu_g8"] = run_child(
         "int8 EPU G table", {"PB_SETTINGS": "epu_int8_tables=1"}, frames)
+    # two-stage EPU (int8 low-freq G + int16 Q rank, exact top-M): Gi /8,
+    # Qi /2 — 99.3% winner agreement at CIF/256 (scripts/ab_epu_lowrank)
+    results["epu_2s"] = run_child(
+        "two-stage EPU", {"PB_SETTINGS": "epu_two_stage=1"}, frames)
+    results["epu_2s_k32"] = run_child(
+        "two-stage EPU + k=32",
+        {"PB_SETTINGS": "epu_two_stage=1,epu_knn_k=32"}, frames)
     # VERDICT r2 #1 asks for PSNR "within 0.3 dB of r02 at equal corpus
     # size": r02's 115,537-tile corpus was the tie-block overshoot bug
     # (2x the derived budget), so pin its corpus explicitly and show the
@@ -167,6 +174,8 @@ def main():
         "epu_k32": {"PB_SETTINGS": "epu_knn_k=32"},
         "kmeans_i12": {"PB_SETTINGS": "kmeans_iters=12"},
         "epu_g8": {"PB_SETTINGS": "epu_int8_tables=1"},
+        "epu_2s": {"PB_SETTINGS": "epu_two_stage=1"},
+        "epu_2s_k32": {"PB_SETTINGS": "epu_two_stage=1,epu_knn_k=32"},
         "motion_halo_off": {"TILER_TPU_MOTION_BM": "0"},
         "motion_bm16": {"TILER_TPU_MOTION_BM": "16"},
         "tk_blk_2048": {"TILER_TPU_TK_BLK": "2048"},
@@ -192,6 +201,9 @@ def main():
                 return "motion_bm"
             if k.startswith("motion_d"):
                 return "motion_dims"
+            if k.startswith("epu_g8") or k.startswith("epu_2s") \
+                    or k.startswith("epu_k32"):
+                return "epu_tables"  # all reshape the same EPU re-rank
             return k
 
         seen_fams = set()

@@ -162,3 +162,90 @@ def test_epu_int8_g_table_near_bf16():
     rel = (e1.sum() - e0.sum()) / max(e0.sum(), 1.0)
     assert agree >= 0.85, f"int8 winner agreement {agree:.2%}"
     assert rel <= 0.02, f"int8 exact-err delta {rel:+.3%}"
+
+
+def test_epu_two_stage_near_full_rank():
+    """settings.epu_two_stage: stage-1 int8 low-freq G + int16 Q rank,
+    stage-2 exact top-M re-rank. Measured at CIF/256: 99.3% winner
+    agreement, +0.21% mean exact-err vs the full bf16 rank
+    (scripts/ab_epu_lowrank.py, docs/PERF.md). Because stage 2 is exact,
+    the chosen pair's error can only exceed the full-rank path's when
+    the true winner fell outside the survivors."""
+    rng = np.random.RandomState(3)
+    B, kk, kp, T, P, S = 64, 8, 8, 64, 16, 16
+    pp = rng.randint(0, S, (T, 8, 8)).astype(np.uint8)
+    palettes = rng.randint(0, 256, (P, S, 3)).astype(np.uint8)
+    cell_tiles = []
+    for b in range(B):
+        rgb = palettes[rng.randint(P)][pp[rng.randint(T)]].astype(np.int32)
+        cell_tiles.append(np.clip(rgb + rng.randint(-6, 7, rgb.shape), 0, 255))
+    cell_tiles = np.stack(cell_tiles).astype(np.float32)
+    cand_idx = np.sort(rng.randint(0, T, (B, kk)).astype(np.int32), axis=1)
+    cand_pal = np.sort(rng.randint(0, P, (B, kp)).astype(np.int32), axis=1)
+
+    from tiler_tpu.pipeline.motion import tile_features_raster
+
+    feats = jnp.asarray(
+        np.asarray(tile_features_raster(jnp.asarray(cell_tiles))))
+    Gf = R._indicator_dcts(pp, S)
+    pal_yuv = rgb_to_yuv(jnp.asarray(palettes, jnp.float32))
+
+    Gb = Gf.astype(jnp.bfloat16)
+    Qb = R._tile_quad(Gb, S)
+    t0, p0, _ = R._epu_rank_all(feats, jnp.asarray(cand_idx),
+                                jnp.asarray(cand_pal), Gb, pal_yuv, S,
+                                cell_chunk=16, Q=Qb)
+    e0 = np.asarray(R._exact_choice_err(feats, t0, p0, jnp.asarray(pp),
+                                        jnp.asarray(palettes)))
+
+    G8lf, g_inv, Q16, q_inv = R._build_two_stage_tables(Gf, S, 48)
+    assert G8lf.dtype == jnp.int8 and Q16.dtype == jnp.int16
+    t1, p1, e1 = R._epu_rank_two_stage(
+        feats, jnp.asarray(cand_idx), jnp.asarray(cand_pal),
+        G8lf, g_inv, Q16, q_inv, pal_yuv, jnp.asarray(pp),
+        jnp.asarray(palettes), S, dims=48, M=16, cell_chunk=16)
+    e1 = np.asarray(e1)
+
+    # the returned err must BE the exact error of the returned pair
+    e1_check = np.asarray(R._exact_choice_err(
+        feats, t1, p1, jnp.asarray(pp), jnp.asarray(palettes)))
+    assert np.allclose(e1, e1_check, rtol=1e-5, atol=1e-2)
+
+    agree = np.mean((np.asarray(t0) == np.asarray(t1))
+                    & (np.asarray(p0) == np.asarray(p1)))
+    rel = (e1.sum() - e0.sum()) / max(e0.sum(), 1.0)
+    assert agree >= 0.85, f"two-stage winner agreement {agree:.2%}"
+    assert rel <= 0.02, f"two-stage exact-err delta {rel:+.3%}"
+
+
+def test_epu_two_stage_end_to_end(tmp_path):
+    """epu_two_stage=1 runs the full pipeline, produces a decodable
+    stream within 0.5 dB of the default path, and round-trips its flag
+    through the stream-embedded settings."""
+    from tiler_tpu.config import EncoderSettings
+    from tiler_tpu.pipeline.encoder import Encoder
+    from tiler_tpu.bitstream.gtm import GTMDecoder, GTMReader
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 200, (48, 64, 3)).astype(np.uint8)
+    clip = np.stack([np.roll(base, (2 * f, 3 * f), (0, 1))
+                     for f in range(4)])
+
+    def run(two_stage):
+        s = EncoderSettings(palette_count=8, palette_size=16,
+                            motion_predict_radius=4, epu_knn_k=8,
+                            kmeans_iters=3, epu_two_stage=two_stage,
+                            epu_stage1_m=8,
+                            global_tiling_quality_based_tile_count=4.0)
+        enc = Encoder(s, log=lambda *a: None)
+        p = str(tmp_path / f"ts{int(two_stage)}.gtm")
+        enc.run_all(clip, fps=25.0, out_path=p)
+        assert len(GTMDecoder(p).decode_frames()) == 4
+        if two_stage:
+            s2 = EncoderSettings.from_ini(GTMReader.read(p).settings_text)
+            assert s2.epu_two_stage is True and s2.epu_stage1_m == 8
+        return enc.state.total_psnr
+
+    base_psnr = run(False)
+    ts_psnr = run(True)
+    assert ts_psnr >= base_psnr - 0.5, (base_psnr, ts_psnr)

@@ -95,6 +95,16 @@ class EncoderSettings:
     epu_int8_tables: bool = False  # int8 EPU G table with coherent Q
     # (halves the dominant Gi gather bytes; 96.3% winner agreement at
     # CIF/256 with smoke PSNR at parity — docs/PERF.md)
+    epu_two_stage: bool = False  # two-stage EPU re-rank: stage 1 ranks
+    # all kk x kp pairs with an int8 LOW-FREQUENCY G (epu_stage1_dims)
+    # + int16 Q (per-column scales folded exactly into the palette
+    # outer products), stage 2 re-ranks the top epu_stage1_m pairs with
+    # EXACT pixel-render errors. Gi gather bytes /8, Qi /2; measured
+    # 99.3% winner agreement, +0.21% mean exact-err at CIF/256
+    # (scripts/ab_epu_lowrank.py, docs/PERF.md).
+    epu_stage1_dims: int = 48  # stage-1 rank dims (3*r^2; 48 -> the
+    # 4x4 low-frequency DCT block per channel)
+    epu_stage1_m: int = 16  # exact-re-ranked survivors per cell
     motion_rank_dims: int = 192  # candidate RANKING dims for motion search:
     # 3*r^2 low-frequency DCT coefficients per channel (192 = exact full
     # search; the winner's error is always exact 192-dim fp32). MEASURED
@@ -153,6 +163,9 @@ class EncoderSettings:
         ("TPU", "IvfProbes", "ivf_probes", int),
         ("TPU", "IvfMinCorpus", "ivf_min_corpus", int),
         ("TPU", "EpuInt8Tables", "epu_int8_tables", bool),
+        ("TPU", "EpuTwoStage", "epu_two_stage", bool),
+        ("TPU", "EpuStage1Dims", "epu_stage1_dims", int),
+        ("TPU", "EpuStage1M", "epu_stage1_m", int),
     )
 
     def to_ini(self) -> str:

@@ -196,6 +196,126 @@ def _tile_quad(G, S: int, v_weight=None):
     return jnp.stack(outs, axis=1).reshape(G.shape[0], -1)
 
 
+def _lowfreq_vu(dims: int) -> np.ndarray:
+    """(v,u) raster indices of the low-frequency r x r block, dims=3*r^2."""
+    r = int(round((dims / 3) ** 0.5))
+    if 3 * r * r != dims:
+        raise ValueError(f"epu_stage1_dims must be 3*r^2, got {dims}")
+    v, u = np.mgrid[0:r, 0:r]
+    return (v * 8 + u).reshape(-1)
+
+
+def _build_two_stage_tables(Gf, S: int, dims: int):
+    """Stage-1 rank tables for the two-stage EPU (settings.epu_two_stage):
+
+    - G8lf [T, L, S] int8: the low-frequency coefficient subset of G with
+      per-coefficient scales (g_inv [L] dequants exactly via the ftw fold,
+      as in _quantize_g8).
+    - Q16 [T, ntri3] int16 + q_inv [ntri3]: the SUBSET quadratic table
+      with per-COLUMN scales — err = Q16·(q_inv*Rj) is an exact fold into
+      the tiny per-palette outer products, so int16 costs only its own
+      rounding (measured: no agreement change vs f32 Q at CIF/256).
+
+    Both tables only RANK: stage 2 re-ranks the top-M pairs with exact
+    pixel-render errors, so their rounding only perturbs which pairs
+    survive to the exact comparison."""
+    lf = _lowfreq_vu(dims)
+    Glf = Gf[:, jnp.asarray(lf), :]  # [T, L, S] f32
+    vmax = jnp.maximum(jnp.max(jnp.abs(Glf), axis=(0, 2)), 1e-6)
+    gsc = 127.0 / vmax
+    G8lf = jnp.round(Glf * gsc[None, :, None]).astype(jnp.int8)
+    g_inv = (1.0 / gsc).astype(jnp.float32)
+    w = np.asarray(DCT_WEIGHTS, np.float64).transpose(1, 2, 0).reshape(64, 3)
+    wlf2 = jnp.asarray((w * w)[lf], jnp.float32)  # [L, 3]
+    tri_i, tri_j = np.triu_indices(S)
+    dbl = jnp.asarray((tri_i != tri_j) + 1.0, jnp.float32)
+    G8f = G8lf.astype(jnp.float32) * g_inv[None, :, None]
+    outs = [
+        jnp.einsum("tvs,tvu->tsu", G8f * wlf2[:, c][None, :, None], G8f,
+                   preferred_element_type=jnp.float32)[:, tri_i, tri_j] * dbl
+        for c in range(3)
+    ]
+    Qlf = jnp.stack(outs, axis=1).reshape(Gf.shape[0], -1)  # [T, ntri3]
+    cmax = jnp.maximum(jnp.max(jnp.abs(Qlf), axis=0), 1e-9)
+    qsc = 32767.0 / cmax
+    Q16 = jnp.round(Qlf * qsc[None, :]).astype(jnp.int16)
+    q_inv = (1.0 / qsc).astype(jnp.float32)
+    return G8lf, g_inv, Q16, q_inv
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("S", "dims", "M", "cell_chunk", "int16"))
+def _epu_rank_two_stage(feats, cand_idx, cand_pal, G8lf, g_inv, Q16, q_inv,
+                        pal_yuv, pp, palettes, S: int, dims: int, M: int,
+                        cell_chunk: int, int16: bool = False):
+    """Two-stage cartesian re-rank (settings.epu_two_stage).
+
+    Stage 1 = the _epu_rank_all norm expansion restricted to the int8
+    low-frequency G and int16 Q tables (see _build_two_stage_tables);
+    stage 2 = exact pixel-render errors of the per-cell top-M pairs,
+    reference tie-break (packed-id min) applied to the EXACT errors.
+    Returns (tile [B], pal [B], exact_err [B]) — the err is already
+    exact, no separate winner recompute needed."""
+    B, kk = cand_idx.shape
+    kp = cand_pal.shape[1]
+    M = min(M, kk * kp)
+    lf = _lowfreq_vu(dims)
+    w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
+    tri_i, tri_j = np.triu_indices(S)
+    Pc = pal_yuv.transpose(0, 2, 1)  # [P, 3, S]
+    Rall = (Pc[..., tri_i] * Pc[..., tri_j]).reshape(pal_yuv.shape[0], -1)
+    Rall = Rall * q_inv[None, :]  # exact int16-Q dequant fold
+    nch = -(-B // cell_chunk)
+    Bp = nch * cell_chunk
+    featsp = jnp.pad(feats, ((0, Bp - B), (0, 0)))
+    cip = jnp.pad(cand_idx, ((0, Bp - B), (0, 0)))
+    cpp = jnp.pad(cand_pal, ((0, Bp - B), (0, 0)))
+    P = pal_yuv.shape[0]
+
+    def body(_, i):
+        f = jax.lax.dynamic_slice(featsp, (i * cell_chunk, 0),
+                                  (cell_chunk, K))
+        ci = jax.lax.dynamic_slice(cip, (i * cell_chunk, 0),
+                                   (cell_chunk, kk))
+        cp = jax.lax.dynamic_slice(cpp, (i * cell_chunk, 0),
+                                   (cell_chunk, kp))
+        Gi = G8lf[ci]  # [b, kk, L, S] int8 — the 8x-smaller gather
+        ftw = (f.reshape(-1, 3, 64).transpose(0, 2, 1)
+               * jnp.asarray(w.transpose(1, 2, 0).reshape(64, 3)))[
+            :, jnp.asarray(lf), :]  # [b, L, 3]
+        ftw = ftw * g_inv[None, :, None]
+        C = jnp.einsum("bkvs,bvc->bksc", Gi.astype(jnp.bfloat16),
+                       ftw.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        Py = pal_yuv[cp]  # [b, kp, S, 3]
+        Rj = Rall[cp]  # [b, kp, ntri3]
+        Qi = Q16[ci].astype(jnp.float32)  # int16 gather, f32 on VPU
+        err = jnp.einsum("bkx,bjx->bkj", Qi, Rj,
+                         precision=jax.lax.Precision.HIGH,
+                         preferred_element_type=jnp.float32)
+        err = err - 2.0 * jnp.einsum(
+            "bksc,bjsc->bkj", C, Py,
+            precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32)
+        err = err.reshape(cell_chunk, kk * kp)
+        _, top = jax.lax.top_k(-err, M)  # [b, M] pair slots, err asc
+        mt = jnp.take_along_axis(ci, top // kp, axis=1)  # [b, M]
+        mp = jnp.take_along_axis(cp, top % kp, axis=1)
+        ex = _exact_choice_err(
+            jnp.repeat(f, M, axis=0), mt.reshape(-1), mp.reshape(-1),
+            pp, palettes, int16=int16,
+        ).reshape(cell_chunk, M)
+        # reference tie-break among the EXACT-minimal survivors
+        combo = mt * P + mp
+        m = jnp.min(ex, axis=1)
+        sel = jnp.where(ex <= m[:, None], combo, jnp.int32(2**31 - 1))
+        best = jnp.min(sel, axis=1)
+        return None, (best // P, best % P, m)
+
+    _, (t, p, e) = jax.lax.scan(body, None, jnp.arange(nch))
+    return t.reshape(Bp)[:B], p.reshape(Bp)[:B], e.reshape(Bp)[:B]
+
+
 def _quantize_g8(Gf, S: int):
     """int8 EPU G table (settings.epu_int8_tables): per-DCT-coefficient scales
     (G ranges differ ~20x across coefficients — a single global scale
@@ -298,12 +418,13 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
 @functools.partial(
     jax.jit,
     static_argnames=("kk", "pal_k", "S", "cell_chunk", "epu", "int16",
-                     "pallas_topk", "ivf_probes"),
+                     "pallas_topk", "ivf_probes", "stage1_dims", "stage1_m"),
 )
 def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
                     kk: int, pal_k: int, S: int, cell_chunk: int,
                     epu: bool, int16: bool, pallas_topk: bool = False,
-                    ivf=None, ivf_probes: int = 8, g_inv=None):
+                    ivf=None, ivf_probes: int = 8, g_inv=None,
+                    q_inv=None, stage1_dims: int = 0, stage1_m: int = 16):
     """Phase A for ALL frames in one device program (lax.map runs frames
     sequentially, so the [cells, Tpad] ranking matrix is a per-iteration
     transient) — one dispatch + one packed d2h instead of per-frame round
@@ -346,6 +467,14 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
             d = feats - dsj[idx[:, 0]]
             exact = jnp.sum(d * d, axis=1)
             t, p = idx[:, 0], pal_initial[idx[:, 0]]
+        elif stage1_dims:  # two-stage EPU: G/Q hold the stage-1 tables
+            cand_idx = idx
+            cand_pal = pal_initial[idx[:, :pal_k]]
+            t, p, exact = _epu_rank_two_stage(
+                feats, cand_idx, cand_pal, G, g_inv, Q, q_inv,
+                pal_yuv, pp, palettes, S, dims=stage1_dims, M=stage1_m,
+                cell_chunk=cell_chunk, int16=int16,
+            )
         else:
             # err-ascending order is fine: the reference's sorted-candidate
             # tie-break is reproduced inside _epu_rank_all by a packed-id
@@ -453,13 +582,22 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
         ivf_state = build_ivf(dsj)
         pallas_topk = False
     g_inv = None
+    q_inv = None
+    stage1_dims = 0
     if epu:
         # NOTE: a global [T, P] norm TABLE indexed per (tile, palette) pair
         # was measured 15x SLOWER on v5e (scalar gathers, ~60M elem/s); the
         # formulation here keeps the quadratic term factored as row-gathers
         # + matmuls instead (see _tile_quad).
         Gf = _indicator_dcts(state.corpus_pal_pixels, settings.palette_size)
-        if settings.epu_int8_tables:
+        if settings.epu_two_stage:
+            # two-stage rank: int8 low-frequency G + int16 Q stage 1,
+            # exact top-M re-rank stage 2 (99.3% winner agreement at
+            # CIF/256, scripts/ab_epu_lowrank.py); Gi bytes /8, Qi /2
+            G, g_inv, Q, q_inv = _build_two_stage_tables(
+                Gf, settings.palette_size, settings.epu_stage1_dims)
+            stage1_dims = settings.epu_stage1_dims
+        elif settings.epu_int8_tables:
             # int8 G table: the per-cell Gi gather is the EPU's largest
             # cost (12.8 ms/frame at 720p defaults, PERF.md) and int8
             # halves its bytes (see _quantize_g8 for the coherence rules)
@@ -545,6 +683,9 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
                     cell_chunk=cell_chunk, epu=use_epu,
                     int16=settings.int16_features, pallas_topk=use_pallas,
                     ivf=ivf_state, ivf_probes=ivf_probes, g_inv=g_inv,
+                    q_inv=q_inv,
+                    stage1_dims=stage1_dims if use_epu else 0,
+                    stage1_m=settings.epu_stage1_m,
                 ).reshape(2, -1))
             packed = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
             return selp, packed
@@ -613,6 +754,16 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
             d = feats - dsj[idx[:, 0]]
             exact = jnp.sum(d * d, axis=1)
             dev_outs.append((idx[:, 0], pal_initial[idx[:, 0]], exact))
+        elif stage1_dims:
+            cand_idx = idx
+            cand_pal = pal_initial[idx[:, :pal_k]]
+            t, p, e = _epu_rank_two_stage(
+                feats, cand_idx, cand_pal, G, g_inv, Q, q_inv,
+                pal_yuv, pp_dev, palettes_dev, settings.palette_size,
+                dims=stage1_dims, M=settings.epu_stage1_m,
+                cell_chunk=cell_chunk, int16=settings.int16_features,
+            )
+            dev_outs.append((t, p, e))
         else:
             cand_idx = idx  # tie-break handled in _epu_rank_all
             cand_pal = pal_initial[idx[:, :pal_k]]
