@@ -809,8 +809,12 @@ def _exact_choice_err(feats, tile, pal, pp, palettes, int16: bool = False):
     """Exact fp32 error of the chosen (tile, palette) per cell."""
     n = tile.shape[0]
     S = palettes.shape[1]
-    palrow = palettes[pal].astype(jnp.float32)  # [n, S, 3]
-    oh = jax.nn.one_hot(pp[tile].reshape(n, 64), S, dtype=jnp.float32)
+    # bf16 one-hot render is EXACT here: each output pixel is a single
+    # 0/1-selected uint8 palette value (integers <= 255 are exact in
+    # bf16, the f32 accumulator adds one nonzero term) — halves the
+    # render's HBM traffic vs the f32 one-hot
+    palrow = palettes[pal].astype(jnp.bfloat16)  # [n, S, 3]
+    oh = jax.nn.one_hot(pp[tile].reshape(n, 64), S, dtype=jnp.bfloat16)
     rgb = jnp.einsum("nps,nsc->npc", oh, palrow,
                      preferred_element_type=jnp.float32
                      ).reshape(n, 8, 8, 3)
@@ -948,9 +952,11 @@ def _phase_b_scan(frames_u8, knn_tile, knn_pal, knn_err, hm, vm, kf_start,
         # (a per-pixel 2-level gather here cost 7.4 ms/frame; the batched
         # [64,S]x[S,3] matmul runs on the MXU and is exact for u8 values)
         tile_px = pp[ktile]  # [N, 8, 8]
-        palrow = palettes[kpal].astype(jnp.float32)  # [N, S, 3]
+        # bf16 one-hot is exact for uint8 palette values (single nonzero
+        # per pixel, integers <= 255 exact in bf16); f32 accumulate
+        palrow = palettes[kpal].astype(jnp.bfloat16)  # [N, S, 3]
         oh = jax.nn.one_hot(tile_px.reshape(N, 64), palettes.shape[1],
-                            dtype=jnp.float32)
+                            dtype=jnp.bfloat16)
         rgb = jnp.einsum("nps,nsc->npc", oh, palrow,
                          preferred_element_type=jnp.float32
                          ).reshape(N, TILE_W, TILE_W, 3)
