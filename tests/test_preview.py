@@ -99,3 +99,46 @@ def test_preview_from_gtm_reload(served, tmp_path):
         assert code == 200 and ctype == "image/png"
     finally:
         srv2.shutdown()
+
+
+def test_inspect_output_cell(served):
+    srv, _, enc = served
+    code, _, body = _get(srv, "/inspect.json?page=output&frame=0&x=9&y=17")
+    assert code == 200
+    d = json.loads(body)
+    tm = enc.state.tilemap
+    tw = enc.state.tilemap_w
+    n = (17 // 8) * tw + (9 // 8)
+    assert d["cell"] == n
+    assert d["tile"] == int(tm.tile_idx[0, n])
+    assert d["palette"] == int(tm.pal_idx[0, n])
+    assert d["predicted"] == bool(tm.predicted[0, n])
+    if d["tile"] >= 0:
+        assert d["tile_uses"] >= 1
+    assert "cell_psnr_db" in d
+
+
+def test_inspect_tiles_and_palettes(served):
+    srv, _, enc = served
+    code, _, body = _get(srv, "/inspect.json?page=tiles&frame=0&x=8&y=0")
+    d = json.loads(body)
+    assert code == 200 and d.get("tile") == 1 and "uses" in d
+    code, _, body = _get(srv, "/inspect.json?page=palettes&frame=0&x=17&y=9")
+    d = json.loads(body)
+    assert code == 200 and d["palette"] == 1 and d["color"] == 2
+    pal = np.asarray(enc.state.palettes_rgb)[1, 2]
+    assert d["rgb"] == "#%02x%02x%02x" % tuple(int(v) for v in pal)
+
+
+def test_inspect_out_of_range_is_empty(served):
+    srv, _, _ = served
+    code, _, body = _get(srv, "/inspect.json?page=output&frame=0&x=9999&y=0")
+    assert code == 200 and json.loads(body) == {}
+
+
+def test_index_has_playback_and_hover(served):
+    srv, _, _ = served
+    code, _, body = _get(srv, "/")
+    html = body.decode()
+    assert code == 200
+    assert "setInterval" in html and "inspect.json" in html

@@ -53,15 +53,19 @@ select, input { background: #282828; color: #ddd; }
 <h3>tiler-tpu preview</h3>
 <div class="bar">
   <select id="page"></select>
+  <button id="play">&#9654;</button>
   <input type="range" id="frame" min="0" value="0" style="flex:1">
   <span id="label"></span><span id="psnr"></span>
 </div>
 <img id="view">
+<div id="hover" style="color:#9c9; min-height:1.2em"></div>
 <pre id="meta"></pre>
 <script>
-let info = null;
+let info = null, timer = null;
 const page = document.getElementById('page');
 const frame = document.getElementById('frame');
+const play = document.getElementById('play');
+const view = document.getElementById('view');
 async function load() {
   info = await (await fetch('info.json')).json();
   for (const p of info.pages) {
@@ -75,13 +79,39 @@ async function load() {
 }
 function update() {
   const f = +frame.value;
-  document.getElementById('view').src =
-    'render/' + page.value + '/' + f + '.png';
+  view.src = 'render/' + page.value + '/' + f + '.png';
   document.getElementById('label').textContent =
     'frame ' + f + '/' + (info.frames - 1);
   document.getElementById('psnr').textContent = info.psnr ?
     ' PSNR-HVS ' + (info.psnr[f] ?? 0).toFixed(2) + ' dB' : '';
 }
+// timed playback at the stream's own fps (reference GUI play button)
+play.onclick = () => {
+  if (timer) { clearInterval(timer); timer = null;
+               play.innerHTML = '&#9654;'; return; }
+  play.innerHTML = '&#9646;&#9646;';
+  timer = setInterval(() => {
+    frame.value = (+frame.value + 1) % info.frames; update();
+  }, 1000 / (info.fps || 24));
+};
+// hover inspector (reference GUI tile/palette hints, main.pas:294-333):
+// image pixel -> /inspect.json -> cell / tile / palette details
+let hoverSeq = 0;
+view.onmousemove = async (ev) => {
+  const r = view.getBoundingClientRect();
+  const x = Math.floor((ev.clientX - r.left) * view.naturalWidth / r.width);
+  const y = Math.floor((ev.clientY - r.top) * view.naturalHeight / r.height);
+  const seq = ++hoverSeq;
+  const d = await (await fetch('inspect.json?page=' + page.value +
+                               '&frame=' + frame.value +
+                               '&x=' + x + '&y=' + y)).json();
+  if (seq !== hoverSeq) return;  // stale response
+  document.getElementById('hover').textContent =
+    Object.entries(d).map(([k, v]) => k + '=' + v).join('  ');
+};
+view.onmouseleave = () => {
+  document.getElementById('hover').textContent = '';
+};
 page.onchange = update; frame.oninput = update;
 load();
 </script></body></html>
@@ -108,6 +138,7 @@ class PreviewServer:
         self.pages = [p for p in _PAGES
                       if p != "input" or state.frames_rgb is not None]
         self._cache = {}
+        self._uses = None  # lazy tilemap-recounted use counts
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
@@ -129,6 +160,16 @@ class PreviewServer:
                     elif path == "/info.json":
                         self._send(200, "application/json",
                                    json.dumps(outer.info()).encode())
+                    elif path == "/inspect.json":
+                        from urllib.parse import parse_qs
+                        q = parse_qs(self.path.partition("?")[2])
+                        self._send(200, "application/json", json.dumps(
+                            outer.inspect(
+                                q.get("page", ["output"])[0],
+                                int(q.get("frame", ["0"])[0]),
+                                int(q.get("x", ["0"])[0]),
+                                int(q.get("y", ["0"])[0]),
+                            )).encode())
                     elif path.startswith("/render/"):
                         parts = path[len("/render/"):].split("/")
                         pg = parts[0]
@@ -168,6 +209,75 @@ class PreviewServer:
                       else int(len(st.corpus_pal_pixels))),
             "psnr": psnr,
         }
+
+    def inspect(self, page: str, frame: int, x: int, y: int) -> dict:
+        """Hover inspector (reference GUI hint surfaces, main.pas:294-333):
+        map an image pixel to the cell / corpus tile / palette under it
+        and return its details."""
+        st = self.state
+        tw = st.tilemap_w
+        if page in ("input", "output"):
+            tm = st.tilemap
+            if tm is None:
+                return {}
+            F = content_frames(st)
+            f = max(0, min(frame, F - 1))
+            cy, cx = y // 8, x // 8
+            if not (0 <= cy < st.tilemap_h and 0 <= cx < tw):
+                return {}
+            n = cy * tw + cx
+            d = {
+                "cell": n, "cy": cy, "cx": cx,
+                "tile": int(tm.tile_idx[f, n]),
+                "palette": int(tm.pal_idx[f, n]),
+                "predicted": bool(tm.predicted[f, n]),
+            }
+            if d["predicted"]:
+                d["pred_dx"] = int(tm.pred_x[f, n])
+                d["pred_dy"] = int(tm.pred_y[f, n])
+            if tm.hmirror is not None and tm.hmirror[f, n]:
+                d["hmirror"] = True
+            if tm.vmirror is not None and tm.vmirror[f, n]:
+                d["vmirror"] = True
+            if d["tile"] >= 0:
+                d["tile_uses"] = self._use_count(d["tile"])
+            if tm.psnr is not None:
+                d["cell_psnr_db"] = round(float(tm.psnr[f, n]), 2)
+            return d
+        if page == "tiles":
+            t = (y // 8) * 64 + x // 8  # render_tiles page_w_tiles=64
+            if st.corpus_pal_pixels is None or t >= len(st.corpus_pal_pixels):
+                return {}
+            d = {"tile": t, "uses": self._use_count(t)}
+            if st.corpus_pal_initial is not None:
+                d["initial_palette"] = int(st.corpus_pal_initial[t])
+            return d
+        if page == "palettes":
+            p, c = y // 8, x // 8  # render_palettes scale=8
+            pal = np.asarray(st.palettes_rgb)
+            if p >= len(pal) or c >= pal.shape[1]:
+                return {}
+            r, g, b = (int(v) for v in pal[p, c])
+            return {"palette": p, "color": c,
+                    "rgb": f"#{r:02x}{g:02x}{b:02x}"}
+        return {}
+
+    def _use_count(self, tile: int) -> int:
+        """Tile use count: from Reindex's corpus_use when present, else
+        recounted from the tilemap (reloaded streams)."""
+        st = self.state
+        if st.corpus_use is not None and tile < len(st.corpus_use):
+            return int(st.corpus_use[tile])
+        if self._uses is None and st.tilemap is not None:
+            tid = st.tilemap.tile_idx.reshape(-1)
+            emitted = tid >= 0
+            self._uses = np.bincount(
+                tid[emitted],
+                minlength=(0 if st.corpus_pal_pixels is None
+                           else len(st.corpus_pal_pixels)))
+        if self._uses is not None and tile < len(self._uses):
+            return int(self._uses[tile])
+        return 0
 
     def _rgb_psnr(self, idx: int) -> float:
         src = np.asarray(self.state.frames_rgb[idx], np.float64)[..., :3]
