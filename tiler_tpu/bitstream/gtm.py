@@ -353,13 +353,27 @@ class GTMWriter:
         # unpackNextKeyframe shifts exactly one decoded stream per KF
         # (gtm.player.js:229-248), so splitting a keyframe into several
         # EOS-terminated streams desyncs it (verified against the verbatim
-        # player; our own reader is laxer). This host also has a single
-        # CPU, so thread parallelism buys nothing — compress serially and
-        # rely on the native encoder's speed (lzma_mode "fast" trades
-        # ~8-10% size for ~3x speed; "optimal" is the ratio default).
-        comps = [lzma_codec.compress(p, lc=self.lc, lp=self.lp,
-                                     mode=self.lzma_mode)
-                 for p in payloads]
+        # player; our own reader is laxer). Multi-KF payloads compress in
+        # a thread pool — the native codec is a ctypes call, which drops
+        # the GIL, so this parallelizes for real on multi-core hosts
+        # (byte-identical output: streams are independent and ordered).
+        # The bench host has ONE core, where the pool degenerates to the
+        # serial path; lzma_mode "fast" remains the single-core speed
+        # lever (~3x at ~8-10% size).
+        import os as _os
+        workers = min(len(payloads), _os.cpu_count() or 1)
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(workers) as ex:
+                comps = list(ex.map(
+                    lambda p: lzma_codec.compress(
+                        p, lc=self.lc, lp=self.lp, mode=self.lzma_mode),
+                    payloads))
+        else:
+            comps = [lzma_codec.compress(p, lc=self.lc, lp=self.lp,
+                                         mode=self.lzma_mode)
+                     for p in payloads]
 
         kf_infos = []
         last_kf = 0
