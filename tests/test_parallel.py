@@ -103,3 +103,25 @@ def test_full_pipeline_mesh_vs_meshless(tmp_path):
     assert abs(ps0 - ps1) < 1.0, f"mesh {ps1:.2f} dB vs meshless {ps0:.2f} dB"
     b0, b1 = e0.stats.total_bytes, e1.stats.total_bytes
     assert abs(b0 - b1) < 0.15 * b0, f"bytes {b1} vs {b0}"
+
+
+def test_pipeline_mesh_two_stage_epu(mesh, tmp_path):
+    """The two-stage EPU (settings.epu_two_stage) also runs on the
+    corpus-sharded mesh path and stays in the single-device quality
+    band."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_e2e import synthetic_clip, _settings, _psnr_rgb
+    from tiler_tpu.pipeline.encoder import Encoder
+    from tiler_tpu.bitstream.gtm import GTMDecoder
+
+    clip = synthetic_clip(F=6)
+    s = _settings()
+    s.epu_two_stage = True
+    s.epu_stage1_m = 8
+    enc = Encoder(s, log=lambda *a: None, mesh=mesh)
+    p = tmp_path / "mesh2s.gtm"
+    enc.run_all(clip, fps=24.0, out_path=str(p))
+    frames = GTMDecoder(str(p)).decode_frames()
+    assert len(frames) == 6
+    assert _psnr_rgb(np.stack(frames)[..., :3], clip) > 20.0
