@@ -15,6 +15,10 @@ singles inline as IntraTile):
   first_use — within the reused prefix, number tiles by first emission
               order (KF raster): spatially-close cells get close
               indices, so command-word high bytes vary slowly.
+  pal_luma  — keep tile order, but sort each PALETTE's colors by luma
+              and remap every tile's pixel indices consistently: similar
+              tiles under different palettes then share TileSet byte
+              patterns (gradients all count 0->S).
 
 Measured on the REFERENCE's own demo streams (real content, no encode
 needed): read with GTMReader, permute, re-emit with GTMWriter, compare
@@ -48,6 +52,38 @@ def remap(g, perm):
 def emit(g, order_name, counts):
     T = g.tileset_count  # reference: tiles in TileSet (use>=2 prefix)
     n = len(g.tiles_pal)
+    if order_name == "pal_luma":
+        # per-palette color permutation (luma-ascending) + consistent
+        # tile pixel remap; tile/palette indexes unchanged
+        pal = np.asarray(g.palettes_rgb, np.int32)  # [P, S, 3]
+        luma = pal[..., 0] * 299 + pal[..., 1] * 587 + pal[..., 2] * 114
+        order = np.argsort(luma, axis=1, kind="stable")  # [P, S] new->old
+        inv = np.empty_like(order)  # old color -> new slot
+        np.put_along_axis(inv, order, np.arange(order.shape[1])[None, :],
+                          axis=1)
+        pal_new = np.take_along_axis(pal, order[..., None], axis=1)
+        # each tile is rendered through ONE palette per use... a tile can
+        # be used with multiple palettes; remapping requires a single
+        # permutation per tile. Use each tile's DOMINANT palette: count
+        # (tile, palette) uses and remap by the most frequent.
+        P, S = pal.shape[0], pal.shape[1]
+        tp = np.zeros((n, P), np.int64)
+        for fr in g.frames:
+            m = (fr.tile_idx >= 0) & ~fr.predicted
+            np.add.at(tp, (fr.tile_idx[m], fr.pal_idx[m]), 1)
+        dom = np.argmax(tp, axis=1)  # [n]
+        tiles_new = np.take_along_axis(
+            inv[dom], g.tiles_pal.reshape(n, 64), axis=1
+        ).reshape(n, 8, 8).astype(np.uint8)
+        # cells whose palette != the tile's dominant palette would decode
+        # WRONG colors under a per-tile remap — count how many
+        total = int(tp.sum())
+        wrong = int((tp * (np.arange(P)[None, :] != dom[:, None])).sum())
+        frames = [__import__("copy").copy(fr) for fr in g.frames]
+        print(f"  [pal_luma] cells on non-dominant palette: "
+              f"{wrong}/{total} = {wrong/max(total,1):.2%} "
+              f"(>0 means this ordering is NOT decode-safe here)")
+        return tiles_new, counts, frames, pal_new
     if order_name == "use_count":
         perm = np.arange(n)
     elif order_name == "content":
@@ -91,8 +127,13 @@ def run(path):
           f"frames={len(g.frames)} pal={len(g.palettes_rgb)}x{g.palette_size}")
     base = {}
     ref_rgb = None
-    for order in ("use_count", "content", "first_use"):
-        tiles, cnts, frames = emit(g, order, counts)
+    for order in ("use_count", "content", "first_use", "pal_luma"):
+        out = emit(g, order, counts)
+        pal_rgb = g.palettes_rgb
+        if len(out) == 4:
+            tiles, cnts, frames, pal_rgb = out
+        else:
+            tiles, cnts, frames = out
         for mode in ("optimal", "fast"):
             w = GTMWriter(g.tilemap_w, g.tilemap_h, g.fps or 25.0,
                           g.palette_size, settings_text=g.settings_text,
@@ -100,7 +141,7 @@ def run(path):
             import io
             buf = io.BytesIO()
             t0 = time.time()
-            stats = w.write(buf, tiles, cnts, g.palettes_rgb, frames,
+            stats = w.write(buf, tiles, cnts, pal_rgb, frames,
                             g.keyframe_end)
             dt = time.time() - t0
             key = f"{order}/{mode}"
