@@ -48,6 +48,16 @@ def main():
         epu_knn_k=16,
         kmeans_iters=16,
     )
+    # settings overrides, e.g. PB_SETTINGS=epu_two_stage=1 (same syntax
+    # as chip_playbook children) — for pre-promotion quality gates
+    import os
+    for kv in os.environ.get("PB_SETTINGS", "").split(","):
+        if kv:
+            k, v = kv.split("=")
+            t = type(getattr(settings, k))
+            setattr(settings, k, bool(int(v)) if t is bool else t(v))
+    if os.environ.get("TILER_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["TILER_TPU_PLATFORM"])
     enc = Encoder(settings)
     t0 = time.time()
     enc.run_all(frames, fps=fps, out_path="/tmp/city_ours.gtm")
