@@ -85,6 +85,15 @@ def realistic_clip(F, H, W):
 
 
 def main():
+    # env knobs parse BEFORE the heavy imports: a malformed knob must
+    # fail fast even when the tunnel is wedged (importing the encoder
+    # can hang on backend init — tests rely on the <1s crash)
+    W = int(os.environ.get("TILER_BENCH_W", 1280))
+    H = int(os.environ.get("TILER_BENCH_H", 720))
+    F = int(os.environ.get("TILER_BENCH_FRAMES", 16))
+    P = int(os.environ.get("TILER_BENCH_PALETTES", 1024))
+    EK = int(os.environ.get("TILER_BENCH_EPU_K", 64))
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/tiler_tpu_jax_cache_tpu")
@@ -93,12 +102,6 @@ def main():
     from tiler_tpu.config import EncoderSettings
     from tiler_tpu.pipeline.encoder import Encoder
     from tiler_tpu.bitstream.gtm import GTMDecoder
-
-    W = int(os.environ.get("TILER_BENCH_W", 1280))
-    H = int(os.environ.get("TILER_BENCH_H", 720))
-    F = int(os.environ.get("TILER_BENCH_FRAMES", 16))
-    P = int(os.environ.get("TILER_BENCH_PALETTES", 1024))
-    EK = int(os.environ.get("TILER_BENCH_EPU_K", 64))
 
     log(f"bench: {W}x{H} x{F} frames on {jax.devices()} | P={P} EPU_K={EK}")
     clip = synthetic_clip(F, H, W)
@@ -259,6 +262,16 @@ def _supervised():
                 break
             log("bench: tunnel probe failed; waiting for recovery")
 
+    # An outage can ALSO start mid-run (probe passed, child wedges, the
+    # stall loop + retries below can spend hours) — emit the stale line
+    # up front unconditionally so an external SIGKILL at any later point
+    # still leaves a parseable JSON on stdout; a successful child prints
+    # the real line after it, and the driver parses the LAST line.
+    if not stale_emitted:
+        _emit_stale("placeholder before live attempts (superseded by the "
+                    "real measurement below if one completes)")
+        stale_emitted = True
+
     for attempt in range(3):
         env = dict(os.environ, TILER_BENCH_CHILD="1")
         p = subprocess.Popen(
@@ -324,15 +337,15 @@ def _supervised():
     # children exhausted. A healthy tunnel means a code regression, not
     # an outage: still print a stale line (the driver must always get a
     # parseable JSON) but exit nonzero so the failure is visible.
+    # (re-emit with the accurate reason — the driver parses the LAST
+    # line, so this supersedes the placeholder emitted up front)
     if _tunnel_alive():
         log("bench: children failed but the tunnel probe passes — "
             "code regression, emitting stale line with rc=1")
-        if not stale_emitted:
-            _emit_stale("bench child failed with a HEALTHY tunnel — "
-                        "code regression, investigate")
+        _emit_stale("bench child failed with a HEALTHY tunnel — "
+                    "code regression, investigate")
         return 1
-    if not stale_emitted:
-        _emit_stale("bench child kept stalling/failing (tunnel down)")
+    _emit_stale("bench child kept stalling/failing (tunnel down)")
     return 0
 
 
@@ -344,7 +357,8 @@ def _emit_stale(reason: str) -> int:
         with open(_LAST_GOOD) as f:
             result = json.loads(f.read())
     except Exception:
-        result = {"metric": "encode_fps_720p", "value": 0.0,
+        H = int(os.environ.get("TILER_BENCH_H", 720))
+        result = {"metric": f"encode_fps_{H}p", "value": 0.0,
                   "unit": "frames/s", "vs_baseline": 0.0,
                   "error": "no last-good measurement available"}
     result["stale"] = True

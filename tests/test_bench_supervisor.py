@@ -66,6 +66,37 @@ def test_stale_line_emitted_even_without_last_good(tmp_path):
     assert parsed["metric"] == "encode_fps_720p"
 
 
+def test_placeholder_emitted_before_live_attempts(tmp_path):
+    """An outage can START mid-run: the probe passes, then the child
+    wedges and the stall/retry loop can spend longer than any external
+    timeout. A parseable stale line must therefore be on stdout BEFORE
+    the first child attempt, superseded later by the real measurement
+    (or by a stale line with the accurate failure reason)."""
+    good = tmp_path / "last_good.json"
+    good.write_text(json.dumps({"metric": "encode_fps_720p", "value": 2.5,
+                                "unit": "frames/s", "vs_baseline": 0.083}))
+    env = dict(os.environ)
+    env.update({
+        "TILER_BENCH_FAKE_PROBE": "alive",
+        "TILER_BENCH_LAST_GOOD": str(good),
+        # malformed on purpose: the child crashes in <1s at int() parse,
+        # exercising the retry loop without running a real encode
+        "TILER_BENCH_W": "not-a-number",
+    })
+    r = subprocess.run([sys.executable, BENCH], capture_output=True,
+                       timeout=120, env=env, text=True)
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert lines, "no stdout line emitted"
+    first = json.loads(lines[0])
+    assert first["stale"] is True and first["value"] == 2.5
+    # children exhausted with a healthy probe => visible failure, and the
+    # last (superseding) line carries the accurate reason
+    assert r.returncode == 1
+    last = json.loads(lines[-1])
+    assert last["stale"] is True
+    assert "HEALTHY" in last["stale_reason"]
+
+
 def test_stale_line_is_flushed_before_recovery_wait(tmp_path):
     """The stale line must be on stdout BEFORE the recovery wait ends —
     read the pipe incrementally and require the line within seconds of

@@ -22,30 +22,39 @@ codec when built.
 from __future__ import annotations
 
 import lzma as _lzma
+import threading
 from typing import List, Tuple
 
 _native = None  # optional module with lzma_compress/lzma_decompress_stream
 _native_probed = False
+_native_lock = threading.Lock()  # probe may g++-build the lib: serialize it
 
 
 def set_native_codec(mod) -> None:
     global _native, _native_probed
-    _native = mod
-    _native_probed = True
+    with _native_lock:
+        _native = mod
+        _native_probed = True
 
 
 def _get_native():
     global _native, _native_probed
-    if not _native_probed:
-        _native_probed = True
-        try:
-            from .. import native as mod
+    # Under the lock so concurrent compressors (gtm.py's per-keyframe
+    # thread pool) all block until the one probe — which may spend
+    # seconds building the shared library — finishes, instead of some
+    # threads seeing probed=True/native=None and silently falling back
+    # to the stdlib encoder (different lc clamp, different bytes).
+    with _native_lock:
+        if not _native_probed:
+            _native_probed = True
+            try:
+                from .. import native as mod
 
-            if mod.available():
-                _native = mod
-        except Exception:
-            _native = None
-    return _native
+                if mod.available():
+                    _native = mod
+            except Exception:
+                _native = None
+        return _native
 
 
 def default_filters(lc: int = 4, lp: int = 0, pb: int = 2, dict_size: int = 1 << 25):
