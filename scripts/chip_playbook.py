@@ -49,11 +49,7 @@ settings = EncoderSettings(
     global_tiling_quality_based_tile_count=7.0,
     epu_knn_k=int(os.environ.get("PB_EPU_K", "64")),
 )
-for kv in os.environ.get("PB_SETTINGS", "").split(","):
-    if kv:
-        k, v = kv.split("=")
-        t = type(getattr(settings, k))
-        setattr(settings, k, bool(int(v)) if t is bool else t(v))
+settings.apply_overrides(os.environ.get("PB_SETTINGS", ""))
 # warm (compiles)
 enc = Encoder(settings, log=lambda *a: None)
 enc.run_all(clip, fps=25.0, out_path="/tmp/pb.gtm")

@@ -51,11 +51,7 @@ def main():
     # settings overrides, e.g. PB_SETTINGS=epu_two_stage=1 (same syntax
     # as chip_playbook children) — for pre-promotion quality gates
     import os
-    for kv in os.environ.get("PB_SETTINGS", "").split(","):
-        if kv:
-            k, v = kv.split("=")
-            t = type(getattr(settings, k))
-            setattr(settings, k, bool(int(v)) if t is bool else t(v))
+    settings.apply_overrides(os.environ.get("PB_SETTINGS", ""))
     if os.environ.get("TILER_TPU_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["TILER_TPU_PLATFORM"])
     enc = Encoder(settings)

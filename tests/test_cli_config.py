@@ -243,3 +243,18 @@ def test_cli_mesh_auto_multi_device_builds_mesh():
 
     enc = Encoder(mesh="auto", log=lambda *a: None)
     assert enc.mesh is not None and "corpus" in enc.mesh.axis_names
+
+
+def test_apply_overrides_shared_helper():
+    """The A/B scripts' PB_SETTINGS syntax lives in one place
+    (EncoderSettings.apply_overrides): type-coerced, chainable, and a
+    typo'd field fails loudly instead of silently measuring baseline."""
+    import pytest
+
+    from tiler_tpu.config import EncoderSettings
+
+    s = EncoderSettings().apply_overrides("epu_two_stage=1,epu_knn_k=32")
+    assert s.epu_two_stage is True and s.epu_knn_k == 32
+    assert EncoderSettings().apply_overrides("") is not None  # empty = no-op
+    with pytest.raises(AttributeError):
+        EncoderSettings().apply_overrides("no_such_field=1")

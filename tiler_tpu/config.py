@@ -168,6 +168,20 @@ class EncoderSettings:
         ("TPU", "EpuStage1M", "epu_stage1_m", int),
     )
 
+    def apply_overrides(self, spec: str) -> "EncoderSettings":
+        """Apply a comma-separated ``field=value`` override string (the
+        A/B-script `PB_SETTINGS` syntax) in place, coercing each value to
+        the field's current type. Unknown fields raise AttributeError —
+        a typo'd A/B child must fail loudly, not silently measure the
+        baseline. Returns self for chaining."""
+        for kv in spec.split(","):
+            if not kv:
+                continue
+            k, v = kv.split("=")
+            t = type(getattr(self, k))
+            setattr(self, k, bool(int(v)) if t is bool else t(v))
+        return self
+
     def to_ini(self) -> str:
         cp = configparser.ConfigParser()
         cp.optionxform = str
