@@ -34,6 +34,32 @@ def test_image_sequence(tmp_path):
     assert fps == 24.0
 
 
+def test_frame_sink_disk_spill(tmp_path):
+    """_FrameSink beyond spill_budget backs its buffer with a temp-file
+    memmap (utils/spill.py); content and growth must match the RAM path."""
+    rng = np.random.RandomState(2)
+    frames = [rng.randint(0, 256, (8, 8, 3)).astype(np.uint8) for _ in range(7)]
+    ram = video._FrameSink(capacity_hint=2)
+    spilled = video._FrameSink(capacity_hint=2, spill_budget=1)
+    for f in frames:
+        ram.append(f)
+        spilled.append(f)
+    assert isinstance(spilled.buf, np.memmap)
+    assert np.array_equal(np.asarray(ram.array()), np.asarray(spilled.array()))
+    assert np.array_equal(np.asarray(spilled.array()), np.stack(frames))
+
+
+def test_y4m_spill_budget(tmp_path):
+    rng = np.random.RandomState(3)
+    frames = rng.randint(16, 240, (5, 16, 16, 3)).astype(np.uint8)
+    p = tmp_path / "s.y4m"
+    export.write_y4m(str(p), frames, fps=24.0)
+    ram, _ = video.load_y4m(str(p))
+    spill, _ = video.load_y4m(str(p), spill_budget=1)
+    assert isinstance(spill, np.memmap)
+    assert np.array_equal(np.asarray(ram), np.asarray(spill))
+
+
 def test_manual_keyframe_sidecars(tmp_path):
     from PIL import Image
 

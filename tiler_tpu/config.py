@@ -112,6 +112,12 @@ class EncoderSettings:
     # 16-channel grouped conv falls off the fast path — keep 192 unless a
     # future backend changes the math
     hbm_frames_budget: float = 8e9  # larger videos stream from host RAM
+    host_ram_budget: float = 0.0  # >0: videos whose host footprint
+    # (frames + canonical tiles, ~384 B/tile total) exceeds this spill
+    # both arrays to unlinked temp-file memmaps (utils/spill.py) — the
+    # encode becomes disk-capacity-bound instead of RAM-bound. No effect
+    # on output bytes; INI [Misc] HostRamBudget (with MaxThreadCount,
+    # the host-resource section).
 
     def derived_tile_count(self, total_raw_tiles: int) -> int:
         """GlobalTilingTileCount resolution (tilingencoder.pas:2937-2948)."""
@@ -139,6 +145,7 @@ class EncoderSettings:
         ("Dither", "DitheringYliluoma2MixedColors", "dithering_yliluoma2_mixed_colors", int),
         ("FrameTiling", "FrameTilingExtendedPaletteUsage", "frame_tiling_extended_palette_usage", bool),
         ("Misc", "MaxThreadCount", "max_thread_count", int),
+        ("Misc", "HostRamBudget", "host_ram_budget", float),
         ("Load", "ShotTransMaxSecondsPerKF", "shot_trans_max_seconds_per_kf", float),
         ("Load", "ShotTransMinSecondsPerKF", "shot_trans_min_seconds_per_kf", float),
         ("Load", "ShotTransCorrelLoThres", "shot_trans_correl_lo_thres", float),

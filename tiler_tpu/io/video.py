@@ -29,20 +29,33 @@ class _FrameSink:
     Bounds host RAM to ~one copy of the clip (the reference streams
     per-frame through FFMPEG callbacks, extern.pas:744-904): frames are
     written in place; the hint comes from the container size/metadata and
-    the buffer grows geometrically when the hint was low."""
+    the buffer grows geometrically when the hint was low.
 
-    def __init__(self, capacity_hint: int = 0):
+    spill_budget > 0: a buffer whose size would exceed it is backed by
+    an unlinked temp-file memmap instead of RAM (utils/spill.py), so a
+    video larger than host RAM still ingests — capacity becomes disk."""
+
+    def __init__(self, capacity_hint: int = 0, spill_budget: int = 0):
         self.buf = None
         self.n = 0
         self.hint = max(0, int(capacity_hint))
+        self.spill_budget = max(0, int(spill_budget))
+
+    def _alloc(self, cap: int, frame_shape) -> np.ndarray:
+        nbytes = cap * int(np.prod(frame_shape))
+        if self.spill_budget and nbytes > self.spill_budget:
+            from ..utils.spill import spill_memmap
+
+            return spill_memmap((cap, *frame_shape))
+        return np.empty((cap, *frame_shape), np.uint8)
 
     def append(self, frame: np.ndarray):
         if self.buf is None:
             cap = self.hint if self.hint > 0 else 64
-            self.buf = np.empty((cap, *frame.shape), np.uint8)
+            self.buf = self._alloc(cap, frame.shape)
         elif self.n == len(self.buf):
-            grown = np.empty(
-                (max(self.n + 64, int(self.n * 1.5)), *self.buf.shape[1:]), np.uint8
+            grown = self._alloc(
+                max(self.n + 64, int(self.n * 1.5)), self.buf.shape[1:]
             )
             grown[: self.n] = self.buf
             self.buf = grown
@@ -71,7 +84,7 @@ def _scale_frame(f: np.ndarray, scaling: float) -> np.ndarray:
 
 
 def load_y4m(path: str, start_frame: int = 0, frame_count: Optional[int] = None,
-             scaling: float = 1.0) -> Tuple[np.ndarray, float]:
+             scaling: float = 1.0, spill_budget: int = 0) -> Tuple[np.ndarray, float]:
     """Parse YUV4MPEG2; returns (frames [F,H,W,3] uint8 RGB, fps)."""
     with open(path, "rb") as f:
         header = f.readline().decode("ascii").strip()
@@ -108,7 +121,7 @@ def load_y4m(path: str, start_frame: int = 0, frame_count: Optional[int] = None,
         cap = est_total - start_frame
         if frame_count is not None:
             cap = min(cap, frame_count)
-        frames = _FrameSink(max(cap, 0))
+        frames = _FrameSink(max(cap, 0), spill_budget)
         idx = 0
         while True:
             line = f.readline()
@@ -146,12 +159,13 @@ def load_y4m(path: str, start_frame: int = 0, frame_count: Optional[int] = None,
 
 def load_image_sequence(pattern: str, start_frame: int = 0,
                         frame_count: Optional[int] = None,
-                        scaling: float = 1.0) -> Tuple[np.ndarray, float]:
+                        scaling: float = 1.0,
+                        spill_budget: int = 0) -> Tuple[np.ndarray, float]:
     """printf-style pattern (e.g. frame%04d.png); fps fixed at 24
     (tilingencoder.pas:1790)."""
     from PIL import Image
 
-    frames = []
+    frames = _FrameSink(0, spill_budget)
     i = start_frame
     while frame_count is None or len(frames) < frame_count:
         p = pattern % i
@@ -160,9 +174,9 @@ def load_image_sequence(pattern: str, start_frame: int = 0,
         img = np.asarray(Image.open(p).convert("RGB"))
         frames.append(_scale_frame(img, scaling))
         i += 1
-    if not frames:
+    if not len(frames):
         raise FileNotFoundError(f"no frames match {pattern}")
-    return np.stack(frames), 24.0
+    return frames.array(), 24.0
 
 
 def _probe_banner(ffmpeg: str, path: str):
@@ -190,7 +204,7 @@ def _probe_banner(ffmpeg: str, path: str):
 
 
 def load_ffmpeg(path: str, start_frame: int = 0, frame_count: Optional[int] = None,
-                scaling: float = 1.0) -> Tuple[np.ndarray, float]:
+                scaling: float = 1.0, spill_budget: int = 0) -> Tuple[np.ndarray, float]:
     """Decode via the ffmpeg binary, STREAMING the rawvideo pipe frame by
     frame into a preallocated array (capturing the whole pipe then
     copying doubled host RAM — a 2-min 720p clip is ~8 GB of frames)."""
@@ -262,7 +276,7 @@ def load_ffmpeg(path: str, start_frame: int = 0, frame_count: Optional[int] = No
     cap = max(0, nb_frames - start_frame)
     if frame_count is not None and cap:
         cap = min(cap, frame_count)
-    sink = _FrameSink(cap)
+    sink = _FrameSink(cap, spill_budget)
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
     try:
         while frame_count is None or len(sink) < frame_count:
@@ -279,18 +293,18 @@ def load_ffmpeg(path: str, start_frame: int = 0, frame_count: Optional[int] = No
 
 
 def load_video(path: str, start_frame: int = 0, frame_count: Optional[int] = None,
-               scaling: float = 1.0) -> Tuple[np.ndarray, float]:
+               scaling: float = 1.0, spill_budget: int = 0) -> Tuple[np.ndarray, float]:
     if re.search(r"%0?\d*d", path):
-        return load_image_sequence(path, start_frame, frame_count, scaling)
+        return load_image_sequence(path, start_frame, frame_count, scaling, spill_budget)
     if path.lower().endswith(".y4m"):
-        return load_y4m(path, start_frame, frame_count, scaling)
+        return load_y4m(path, start_frame, frame_count, scaling, spill_budget)
     if path.lower().endswith(".gtm"):
         from ..bitstream.gtm import GTMDecoder
 
         dec = GTMDecoder(path)
         frames = np.stack([f[..., :3] for f in dec.decode_frames()])
         return frames, 24.0
-    return load_ffmpeg(path, start_frame, frame_count, scaling)
+    return load_ffmpeg(path, start_frame, frame_count, scaling, spill_budget)
 
 
 def manual_keyframes(path: str, start_frame: int, n_frames: int) -> Optional[List[int]]:

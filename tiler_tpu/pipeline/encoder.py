@@ -39,6 +39,14 @@ class GTMReloadError(Exception):
     tilingencoder.pas:112, raised :5030)."""
 
 
+class _SpilledRef:
+    """Checkpoint placeholder for a disk-spilled (memmap) state field;
+    names the sidecar .npy written next to the pickle."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+
 class Encoder:
     """Drives an EncodeState through the pipeline steps."""
 
@@ -85,6 +93,7 @@ class Encoder:
             start_frame=self.settings.start_frame,
             frame_count=self.settings.frame_count or None,
             scaling=self.settings.scaling,
+            spill_budget=int(self.settings.host_ram_budget),
         )
         manual = video.manual_keyframes(path, self.settings.start_frame, len(frames))
         return self.load_frames(frames, fps, manual_keyframes=manual)
@@ -227,19 +236,40 @@ class Encoder:
         st = self.state
         st._hashes_prefetch = None  # transient stage-overlap caches
         st._pal_hashes_prefetch = None
+        restore = {}
         for fld in dataclasses.fields(st):
             v = getattr(st, fld.name)
             if isinstance(v, jax.Array):
                 setattr(st, fld.name, np.asarray(v))
-        with open(path, "wb") as f:
-            pickle.dump({"state": st, "settings": self.settings}, f)
+            elif isinstance(v, np.memmap):
+                # disk-spilled array (host_ram_budget): pickling would
+                # materialize it in RAM (ndarray reduces via tobytes);
+                # np.save streams memmap pages -> sidecar .npy that
+                # load_checkpoint re-maps instead of loading
+                side = f"{path}.{fld.name}.npy"
+                np.save(side, v)
+                restore[fld.name] = v
+                setattr(st, fld.name, _SpilledRef(os.path.basename(side)))
+        try:
+            with open(path, "wb") as f:
+                pickle.dump({"state": st, "settings": self.settings}, f)
+        finally:  # the live encoder keeps its memmaps usable
+            for k, v in restore.items():
+                setattr(st, k, v)
 
     @classmethod
     def load_checkpoint(cls, path: str, log=print) -> "Encoder":
+        import dataclasses
+
         with open(path, "rb") as f:
             d = pickle.load(f)
         enc = cls(d["settings"], log=log)
         enc.state = d["state"]
+        for fld in dataclasses.fields(enc.state):
+            v = getattr(enc.state, fld.name)
+            if isinstance(v, _SpilledRef):
+                side = os.path.join(os.path.dirname(path) or ".", v.name)
+                setattr(enc.state, fld.name, np.load(side, mmap_mode="r"))
         return enc
 
     def _stamp(self, step: str, t0: float):

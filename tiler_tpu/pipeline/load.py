@@ -117,6 +117,16 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
     total_bytes = frames_rgb.nbytes + F * N * 192
     device_resident = total_bytes <= getattr(settings, "hbm_frames_budget", 8e9)
 
+    # …and beyond the HOST budget, the canonical tiles spill to a disk
+    # memmap (frames usually already arrive memmap-backed from the
+    # _FrameSink spill; consumers slice both in bounded chunks either way)
+    ram_budget = getattr(settings, "host_ram_budget", 0.0)
+    spill = not device_resident and 0 < ram_budget < total_bytes
+    if spill:
+        from ..utils.spill import spill_memmap
+
+        tiles_dest = spill_memmap((F, N, TILE_W, TILE_W, 3))
+
     # piece size: bounds the fp32 tile-pass transients (~6 frame-sized
     # fp32 arrays) to ~2 GB AND keeps several h2d transfers in flight so
     # the tile pass of piece i overlaps the transfer of piece i+1
@@ -152,7 +162,12 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
         inp = p if prev_tail is None else jnp.concatenate([prev_tail, p])
         skip = 0 if prev_tail is None else 1
         tc, fl, c = _load_chunk(inp)
-        tiles_parts.append(tc[skip:] if device_resident else np.asarray(tc[skip:]))
+        if spill:  # write-through per piece: no parts list + no 2x concat
+            tiles_dest[starts[pi] : starts[pi] + (tc.shape[0] - skip)] = (
+                np.asarray(tc[skip:]))
+        else:
+            tiles_parts.append(
+                tc[skip:] if device_resident else np.asarray(tc[skip:]))
         flag_parts.append(fl[skip:])
         corr_parts.append(c[skip:])
         prev_tail = p[-1:]
@@ -176,7 +191,9 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
     else:
         state.frames_rgb = frames_rgb
     cat = jnp.concatenate if device_resident else np.concatenate
-    if not pipelined:
+    if spill:
+        state.tiles_canon = tiles_dest
+    elif not pipelined:
         state.tiles_canon = tiles_parts[0] if len(tiles_parts) == 1 else cat(tiles_parts)
     flags_dev = flag_parts[0] if len(flag_parts) == 1 else jnp.concatenate(flag_parts)
     corr_dev = corr_parts[0] if len(corr_parts) == 1 else jnp.concatenate(corr_parts)
