@@ -27,6 +27,19 @@ def test_kmeans_weights_pull_centroids():
     assert abs(float(cents[0, 0]) - (0 + 100) / 101.0) < 1e-3
 
 
+def test_kmeans_early_exit_is_fixed_point():
+    """The convergence early-exit must be bit-identical to running more
+    iterations: on a fast-converging dataset, iters=20 and iters=200
+    (both past convergence) give the same centroids and assignments."""
+    rng = np.random.RandomState(7)
+    c = np.array([[0, 0], [40, 40]], np.float32)
+    pts = np.concatenate([c[i] + 0.1 * rng.randn(64, 2) for i in range(2)]).astype(np.float32)
+    a = kmeans(pts, 2, iters=20, seed=2, init="kpp")
+    b = kmeans(pts, 2, iters=200, seed=2, init="kpp")
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
 def test_kmodes_clusters_categorical():
     rng = np.random.RandomState(3)
     base = np.array([[1, 2, 3, 4], [7, 7, 7, 7], [0, 9, 0, 9]], np.uint8)

@@ -88,7 +88,7 @@ def _kmeans_jit(points, weights, key, k: int, iters: int, chunk: int, init: str)
     pts = _pad_to(points, nn).reshape(-1, chunk, d)
     w = _pad_to(weights, nn).reshape(-1, chunk)
 
-    def lloyd(cents, _):
+    def lloyd(cents):
         c2 = jnp.sum(cents * cents, axis=1)
         cb = cents.astype(jnp.bfloat16)
 
@@ -108,10 +108,24 @@ def _kmeans_jit(points, weights, key, k: int, iters: int, chunk: int, init: str)
         (sums, cnts), _ = jax.lax.scan(
             acc, (jnp.zeros((k, d), points.dtype), jnp.zeros((k,), points.dtype)), (pts, w)
         )
-        new = jnp.where(cnts[:, None] > 0, sums / jnp.maximum(cnts[:, None], 1e-30), cents)
-        return new, None
+        return jnp.where(cnts[:, None] > 0, sums / jnp.maximum(cnts[:, None], 1e-30), cents)
 
-    cents, _ = jax.lax.scan(lloyd, cents, None, length=iters)
+    # convergence early-exit (yakmo also iterates to convergence under a
+    # hard cap, utils.pas:17): once an iteration reproduces its input
+    # centroids exactly, every further iteration is the identity, so
+    # stopping yields bit-identical output to the fixed-length scan
+    def cond(carry):
+        _, i, done = carry
+        return (i < iters) & ~done
+
+    def body(carry):
+        cents, i, _ = carry
+        new = lloyd(cents)
+        return new, i + 1, jnp.all(new == cents)
+
+    cents, _, _ = jax.lax.while_loop(
+        cond, body, (cents, jnp.int32(0), jnp.bool_(False))
+    )
     assign, d2 = assign_nearest(points, cents, chunk=chunk)
     return cents, assign, d2
 

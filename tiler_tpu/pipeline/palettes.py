@@ -286,7 +286,7 @@ def _kmeans_small_batch_packed(colors, weights, seeds, npix_d, k: int,
     x2 = jnp.sum(colsT * colsT, axis=1)  # [P, n]
     karange = jnp.arange(k, dtype=jnp.int32)[None, :, None]
 
-    def lloyd(cents, _):
+    def lloyd(cents):
         c2 = jnp.sum(cents * cents, axis=-1)  # [P, k]
         d2 = (
             x2[:, None, :]
@@ -298,9 +298,24 @@ def _kmeans_small_batch_packed(colors, weights, seeds, npix_d, k: int,
         cnt = jnp.sum(oh, axis=-1)  # [P, k]
         s = jnp.einsum("pkn,pcn->pkc", oh, colsT, precision="highest")
         return jnp.where(cnt[:, :, None] > 0,
-                         s / jnp.maximum(cnt[:, :, None], 1e-30), cents), None
+                         s / jnp.maximum(cnt[:, :, None], 1e-30), cents)
 
-    cents, _ = jax.lax.scan(lloyd, cents, None, length=iters)
+    # convergence early-exit across ALL palettes at once (bit-identical
+    # to the fixed-length scan — a converged iteration is the identity;
+    # see cluster/kmeans.py). Small-k color quant converges in a few
+    # iterations, so the batch usually exits well before `iters`.
+    def cond(carry):
+        _, i, done = carry
+        return (i < iters) & ~done
+
+    def body(carry):
+        cents, i, _ = carry
+        new = lloyd(cents)
+        return new, i + 1, jnp.all(new == cents)
+
+    cents, _, _ = jax.lax.while_loop(
+        cond, body, (cents, jnp.int32(0), jnp.bool_(False))
+    )
     return jnp.concatenate(
         [cents.reshape(P, k * 3), npix_d[:, None].astype(jnp.float32)], axis=1
     )
