@@ -1253,7 +1253,10 @@ size_t gtm_lzma_compress(const u8* in, size_t in_len, u8* out, size_t out_cap,
 
 // Decode one EOS-terminated stream at `in`. Writes payload to out
 // (out_cap), sets *consumed to input bytes used. Returns payload size,
-// or (size_t)-1 on error / overflow.
+// (size_t)-1 on a corrupt stream, or (size_t)-2 when out_cap is too
+// small (the only retryable failure — callers grow the buffer ONLY on
+// -2; treating corruption as growable turned bit-flipped streams into
+// multi-GB allocation storms).
 size_t gtm_lzma_decompress(const u8* in, size_t in_len, u8* out,
                            size_t out_cap, size_t* consumed) {
   if (in_len < 13) return (size_t)-1;
@@ -1310,7 +1313,7 @@ size_t gtm_lzma_decompress(const u8* in, size_t in_len, u8* out,
         }
       }
       while (sym < 0x100) sym = (sym << 1) | rc.decode_bit(probs, sym);
-      if (outp >= out_cap) return (size_t)-1;
+      if (outp >= out_cap) return (size_t)-2;
       out[outp++] = (u8)sym;
       state = state < 4 ? 0 : (state < 10 ? state - 3 : state - 6);
       continue;
@@ -1335,7 +1338,8 @@ size_t gtm_lzma_decompress(const u8* in, size_t in_len, u8* out,
       } else {
         if (!rc.decode_bit(is_rep0_long, ((size_t)state << 4) + ps)) {
           state = state < 7 ? 9 : 11;
-          if (outp >= out_cap || outp < rep0 + 1) return (size_t)-1;
+          if (outp < rep0 + 1) return (size_t)-1;
+          if (outp >= out_cap) return (size_t)-2;
           out[outp] = out[outp - rep0 - 1];
           outp++;
           continue;
@@ -1365,7 +1369,8 @@ size_t gtm_lzma_decompress(const u8* in, size_t in_len, u8* out,
       }
       if (rep0 == 0xFFFFFFFFu) break;  // EOS
     }
-    if (outp + len > out_cap || rep0 + 1 > outp) return (size_t)-1;
+    if (rep0 + 1 > outp) return (size_t)-1;
+    if (outp + len > out_cap) return (size_t)-2;
     const u8* src = out + outp - rep0 - 1;
     for (u32 i = 0; i < len; i++) out[outp + i] = src[i];
     outp += len;

@@ -40,6 +40,31 @@ SHORT_PAL_LIMIT = 1 << (CMD_DATA_BITS - 2)  # 1024
 ENCODER_VERSION = 4
 
 
+class GTMFormatError(ValueError):
+    """Malformed or corrupt GTM input: truncation, bad magic/chunk ids,
+    corrupt LZMA streams, command payloads running past the buffer. A
+    ValueError subclass so pre-existing except-ValueError callers keep
+    working; raising it (instead of leaking struct.error/IndexError)
+    is the reader-side analog of the reference's typed stream errors
+    (ETilingEncoderGTMReloadError, tilingencoder.pas:112)."""
+
+
+def _format_guard(fn):
+    """Convert parse-time struct/index/value errors into GTMFormatError."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except GTMFormatError:
+            raise
+        except (struct.error, IndexError, KeyError, ValueError, OverflowError) as e:
+            raise GTMFormatError(f"malformed GTM stream: {e}") from e
+
+    return wrap
+
+
 class GTM_COMMANDS(IntEnum):
     PredictedTileShortOffsets = 0
     PredictedTileLongOffsets = 1
@@ -500,12 +525,13 @@ class _ByteReader:
         return self.p >= len(self.b)
 
 
+@_format_guard
 def parse_header(raw: bytes) -> dict:
     (fourcc, riff, whole, ver, w, h, kfc, frc, avg, kfmax) = struct.unpack(
         _HEADER_FMT, raw[:_HEADER_SIZE]
     )
     if fourcc != b"GTMv":
-        raise ValueError("not a GTM file")
+        raise GTMFormatError("not a GTM file")
     kfs = []
     off = _HEADER_SIZE
     for _ in range(kfc):
@@ -513,7 +539,7 @@ def parse_header(raw: bytes) -> dict:
             _KFINFO_FMT, raw[off : off + _KFINFO_SIZE]
         )
         if kcc != b"GTMk":
-            raise ValueError("bad GTMk chunk")
+            raise GTMFormatError("bad GTMk chunk")
         kfs.append(
             dict(kf_index=kidx, frame_index=fidx, raw_size=rawsz, compressed_size=compsz, time_ms=tms)
         )
@@ -535,6 +561,7 @@ class GTMReader:
     """Parse a .gtm back into tiles/palettes/tilemap commands."""
 
     @staticmethod
+    @_format_guard
     def read(path_or_bytes) -> GTMFile:
         raw = path_or_bytes if isinstance(path_or_bytes, (bytes, bytearray)) else open(path_or_bytes, "rb").read()
         g = GTMFile()
@@ -577,6 +604,16 @@ class GTMReader:
                     ns = r.u32()
                     g.fps = 1e9 / ns if ns else 0.0
                     g.tile_count = r.u32()
+                    # each TileSet tile costs 64 payload bytes and a
+                    # frame's cells <= 2048x its payload (2-byte words,
+                    # 4096-cell skip blocks), so counts beyond that are
+                    # corrupt declarations, not big files — reject
+                    # instead of allocating gigabytes
+                    total = sum(len(p) for p in payloads)
+                    if g.tile_count > total or g.tilemap_w * g.tilemap_h > 2048 * total:
+                        raise GTMFormatError(
+                            f"implausible dimensions {g.width}x{g.height}"
+                            f"/{g.tile_count}")
                     g.tiles_pal = np.zeros((max(g.tile_count, 1), TILE_W, TILE_W), np.uint8)
                     intra_count = 0
                 elif cmd == GTM_COMMANDS.TileSet:
@@ -675,7 +712,7 @@ class GTMReader:
                     cur["vmirror"][tm_pos] = bool(data & 2)
                     tm_pos += 1
                 else:
-                    raise ValueError(f"unknown GTM command {cmd}")
+                    raise GTMFormatError(f"unknown GTM command {cmd}")
         return g
 
 
@@ -683,6 +720,7 @@ class GTMDecoder:
     """Pixel-exact replica of the JS reference decoder's playback
     (gtm.player.js:365-515). Returns RGBA frames."""
 
+    @_format_guard
     def __init__(self, path_or_bytes):
         raw = path_or_bytes if isinstance(path_or_bytes, (bytes, bytearray)) else open(path_or_bytes, "rb").read()
         off = 0
@@ -692,6 +730,7 @@ class GTMDecoder:
             off = self.header["whole_header_size"]
         self._payload = b"".join(lzma_codec.split_streams(raw[off:]))
 
+    @_format_guard
     def decode_frames(self, max_frames: int = 0) -> List[np.ndarray]:
         r = _ByteReader(self._payload)
         frames: List[np.ndarray] = []
@@ -737,6 +776,12 @@ class GTMDecoder:
                 height = r.u16()
                 r.u32()  # frame length ns
                 tile_count = r.u32()
+                # a valid stream spends >=2 payload bytes per frame and
+                # covers <=4096 cells per skip word, so cells can never
+                # exceed 2048x the payload; tiles cost 64 bytes each
+                if tile_count > len(r.b) or width * height > 2048 * len(r.b):
+                    raise GTMFormatError(
+                        f"implausible dimensions {width}x{height}/{tile_count}")
                 cur_intra = tile_count
                 tile_count += width * height * 2
                 tiles4 = np.zeros((4, tile_count, 8, 8), np.uint8)

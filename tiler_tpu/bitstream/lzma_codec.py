@@ -112,13 +112,17 @@ def decompress_stream(buf: bytes, offset: int = 0) -> Tuple[bytes, int]:
     concatenated back to back in a .gtm file (one per keyframe), matching
     the GliGli-modified worker loop (decoders/htmljs/wlzma.wrk.js:49-63).
     """
+    if len(buf) - offset < 13:  # props(5) + size(8)
+        raise ValueError("truncated LZMA stream header")
     lc, lp, pb, _ = _parse_props(buf[offset : offset + 5])
+    if buf[offset] >= 9 * 5 * 5:
+        raise ValueError("invalid LZMA props byte")
     nat = _get_native()
     if nat is not None:
-        try:
-            return nat.lzma_decompress_stream(buf, offset)
-        except Exception:
-            pass
+        # the native decoder is complete for every lc/lp/pb; its decode
+        # errors mean the STREAM is bad — re-raise instead of retrying
+        # with the (slow) fallbacks on data already known corrupt
+        return nat.lzma_decompress_stream(buf, offset)
     if lc <= 4 and lc + lp <= 4:
         dec = _lzma.LZMADecompressor(format=_lzma.FORMAT_ALONE)
         out = dec.decompress(buf[offset:])

@@ -95,16 +95,25 @@ def lzma_decompress_stream(buf: bytes, offset: int = 0,
     if lib is None:
         raise RuntimeError("native lzma unavailable")
     src = bytes(buf[offset:])
-    # grow output until it fits
+    corrupt = ctypes.c_size_t(-1).value
+    need_space = ctypes.c_size_t(-2).value
+    # grow output until it fits; ONLY on the retryable "out_cap too
+    # small" code. A corrupt stream fails immediately — growing on it
+    # turned bit-flipped inputs into multi-GB allocation storms. 4096x
+    # is far beyond LZMA's real expansion ceiling (~136x), so hitting
+    # it means a corrupt (e.g. bit-flipped) size declaration.
     cap = max(4 * len(src), 1 << 16)
+    limit = min(max_out, 4096 * max(len(src), 1))
     while True:
         out = ctypes.create_string_buffer(cap)
         used = ctypes.c_size_t(0)
         n = lib.gtm_lzma_decompress(src, len(src), out, cap, ctypes.byref(used))
-        if n != ctypes.c_size_t(-1).value:
+        if n == corrupt:
+            raise ValueError("corrupt LZMA stream")
+        if n != need_space:
             return out.raw[:n], used.value
-        if cap > max_out:
-            raise ValueError("lzma stream decode failed or too large")
+        if cap > limit:
+            raise ValueError("LZMA stream declares an implausible size")
         cap *= 4
 
 
