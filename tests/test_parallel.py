@@ -53,6 +53,24 @@ def test_sharded_lloyd_matches_single_device(mesh):
     assert np.allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
 
 
+def test_sharded_lloyd_fused_loop_matches_stepwise(mesh):
+    """The fused while-loop Lloyd (one program, convergence early-exit)
+    must match iterating sharded_lloyd_step — including past convergence
+    (exact fixed point, see cluster/kmeans.py)."""
+    from tiler_tpu.parallel.kmeans import sharded_lloyd
+
+    rng = np.random.RandomState(2)
+    pts = jnp.asarray(rng.randn(800, 8).astype(np.float32) * 4)
+    w = jnp.asarray(rng.rand(800).astype(np.float32))
+    c0 = jnp.asarray(rng.randn(6, 8).astype(np.float32))
+    for iters in (3, 50):  # 50 converges well before the cap
+        want = c0
+        for _ in range(iters):
+            want = sharded_lloyd_step(pts, w, want, mesh)
+        got = sharded_lloyd(pts, w, c0, iters, mesh)
+        assert np.array_equal(np.asarray(got), np.asarray(want)), iters
+
+
 def test_pipeline_encode_with_mesh(mesh, tmp_path):
     """Full encode with the corpus-sharded KNN path on the 8-device mesh
     must produce a playable stream matching single-device quality."""

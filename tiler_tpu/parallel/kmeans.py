@@ -38,6 +38,58 @@ def sharded_lloyd_step(points, weights, cents, mesh: Mesh, data_axis: str = "cor
     return fn(points, weights, cents)
 
 
+def sharded_lloyd(points, weights, cents, iters: int, mesh: Mesh,
+                  data_axis: str = "corpus"):
+    """All Lloyd iterations in ONE program: a lax.while_loop around the
+    psum'd step with the same exact fixed-point early-exit as
+    cluster/kmeans.py (bit-identical to iterating `iters` times). The
+    convergence predicate is computed from the post-psum REPLICATED
+    centroids, so every shard takes the same trip count — collectives
+    inside the loop stay lockstep. Also collapses `iters` host
+    dispatches into one."""
+    k = cents.shape[0]
+
+    def local(pts, w, c0):
+        def one(c):
+            d2 = (
+                jnp.sum(pts * pts, 1, keepdims=True)
+                - 2.0 * (pts @ c.T)
+                + jnp.sum(c * c, 1)[None, :]
+            )
+            a = jnp.argmin(d2, axis=1)
+            oh = jax.nn.one_hot(a, k, dtype=pts.dtype) * w[:, None]
+            sums = jax.lax.psum(
+                jnp.einsum("nk,nd->kd", oh, pts, precision="highest"), data_axis
+            )
+            cnts = jax.lax.psum(oh.sum(axis=0), data_axis)
+            return jnp.where(
+                cnts[:, None] > 0, sums / jnp.maximum(cnts[:, None], 1e-30), c
+            )
+
+        def cond(carry):
+            _, i, done = carry
+            return (i < iters) & ~done
+
+        def body(carry):
+            c, i, _ = carry
+            new = one(c)
+            return new, i + 1, jnp.all(new == c)
+
+        c, _, _ = jax.lax.while_loop(
+            cond, body, (c0, jnp.int32(0), jnp.bool_(False))
+        )
+        return c
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(data_axis, None), P(data_axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(points, weights, cents)
+
+
 def sharded_assign(points, cents, mesh: Mesh, data_axis: str = "corpus"):
     """Exact 1-NN assignment of sharded points against replicated
     centroids; returns (assign [N] int32, d2 [N]) sharded like points."""
@@ -87,7 +139,6 @@ def sharded_kmeans(points, k: int, *, weights, iters: int, seed: int,
     _, idx = jax.lax.top_k(keys_, min(k, n))
     cents = jnp.asarray(points, jnp.float32)[idx]
 
-    for _ in range(iters):
-        cents = sharded_lloyd_step(pts, w, cents, mesh, data_axis=data_axis)
+    cents = sharded_lloyd(pts, w, cents, iters, mesh, data_axis=data_axis)
     assign, d2 = sharded_assign(pts, cents, mesh, data_axis=data_axis)
     return cents, assign[:n], d2[:n]
