@@ -129,6 +129,28 @@ def test_writer_decoder_pixel_exact(tmp_path):
         assert np.array_equal(g, e), f"frame {i} mismatch"
 
 
+def test_parallel_kf_compression_byte_identical(tmp_path, monkeypatch):
+    """The multi-core per-KF LZMA thread pool must produce the same bytes
+    as the serial path. The bench host has one core, so the pool branch
+    only ever runs on multi-core machines — force it here."""
+    import os as _os
+
+    tw, th, tiles, uc, palettes, frames = _mk_scene(seed=5)
+    kf_end = [True, True, True]  # 3 KFs -> 3 streams for the pool
+
+    def emit():
+        w = GTMWriter(tw, th, fps=25.0, palette_size=16, settings_text="s")
+        p = tmp_path / f"kf{_os.cpu_count()}.gtm"
+        w.write(p, tiles, uc, palettes, frames, keyframe_end=kf_end)
+        return open(p, "rb").read()
+
+    serial = emit()
+    monkeypatch.setattr(_os, "cpu_count", lambda: 4)
+    parallel = emit()
+    assert serial == parallel
+    assert len(GTMDecoder(parallel).decode_frames()) == 3
+
+
 def test_writer_reader_roundtrip(tmp_path):
     tw, th, tiles, uc, palettes, frames = _mk_scene(seed=11)
     w = GTMWriter(tw, th, fps=30.0, palette_size=16, settings_text="s")
