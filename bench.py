@@ -1,7 +1,12 @@
 #!/usr/bin/env python
 """Driver benchmark: full-pipeline GTM encode throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline", ...}; the
+LAST line is the measurement of record. Earlier lines are outage
+armor: a stale/placeholder line goes out immediately (before any JAX
+work, which can hang for hours when the axon tunnel is down) so the
+driver always has something to parse, and a successful live run then
+supersedes it. Consumers must parse the last JSON line, not the first.
 Baseline target: 30 fps at 720p on one v5e chip (BASELINE.md).
 
 Settings are the REFERENCE DEFAULTS (tilingencoder.pas:3817-3845):

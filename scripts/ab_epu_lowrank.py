@@ -101,11 +101,25 @@ def main():
         Q16 = jnp.round(Qf * qs[None, :]).astype(jnp.int16)
         return Q16, Rall / qs[None, :]
 
+    _prep = {}  # (lf, M, q16) -> jitted rank fn; tables + jit built ONCE
+    # per variant, not per frame (jax.jit caches by function identity, so
+    # a closure created inside the per-frame loop recompiles every call)
+
     def two_stage(feats, idx, cand_pal, lf, M, q16):
         """Stage 1: int8 low-freq G + (f32|int16) Q pair rank; stage 2:
         exact re-rank of the per-cell top-M pairs."""
         B = feats.shape[0]
-        # stage-1 tables (built once per call here; per KF in production)
+        cache_key = (tuple(lf), M, q16)
+        if cache_key in _prep:
+            rank = _prep[cache_key]
+            ts, ps, es = [], [], []
+            for i in range(0, B, cell_chunk):
+                t, p, e = rank(feats[i:i + cell_chunk], idx[i:i + cell_chunk],
+                               cand_pal[i:i + cell_chunk])
+                ts.append(t); ps.append(p); es.append(e)
+            return (jnp.concatenate(ts), jnp.concatenate(ps),
+                    jnp.concatenate(es))
+        # stage-1 tables
         Glf = Gf[:, jnp.asarray(lf), :]  # [T, L, S]
         vmax = jnp.maximum(jnp.max(jnp.abs(Glf), axis=(0, 2)), 1e-6)
         gsc = 127.0 / vmax
@@ -169,6 +183,7 @@ def main():
             best = jnp.min(sel, axis=1)
             return best // P, best % P, m
 
+        _prep[cache_key] = rank
         ts, ps, es = [], [], []
         for i in range(0, B, cell_chunk):
             t, p, e = rank(feats[i:i + cell_chunk], idx[i:i + cell_chunk],

@@ -258,3 +258,10 @@ def test_apply_overrides_shared_helper():
     assert EncoderSettings().apply_overrides("") is not None  # empty = no-op
     with pytest.raises(AttributeError):
         EncoderSettings().apply_overrides("no_such_field=1")
+    # same bool spellings as from_ini, and values may contain '='
+    s = EncoderSettings().apply_overrides("epu_two_stage=true")
+    assert s.epu_two_stage is True
+    s = EncoderSettings().apply_overrides("epu_two_stage=False")
+    assert s.epu_two_stage is False
+    s = EncoderSettings().apply_overrides("input_file_name=a=b.y4m")
+    assert s.input_file_name == "a=b.y4m"

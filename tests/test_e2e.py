@@ -252,6 +252,19 @@ def test_disk_spill_mode(tmp_path):
     assert np.array_equal(g1.tiles_pal, g2.tiles_pal)
     assert np.array_equal(g1.palettes_rgb, g2.palettes_rgb)
 
+    # frames arriving memmap-backed (the _FrameSink spill path) must
+    # STAY memmaps through load (np.ascontiguousarray strips the
+    # subclass — regression: checkpoint would pickle them into RAM)
+    from tiler_tpu.io import export, video
+
+    y4m = tmp_path / "clip.y4m"
+    export.write_y4m(str(y4m), clip, fps=24.0)
+    spilled_frames, _ = video.load_y4m(str(y4m), spill_budget=1)
+    assert isinstance(spilled_frames, np.memmap)
+    enc_f = Encoder(s2, log=lambda *a: None)
+    enc_f.load_frames(spilled_frames, fps=24.0)
+    assert isinstance(enc_f.state.frames_rgb, np.memmap)
+
     # checkpoint: memmap fields go to a sidecar .npy, the live encoder
     # keeps its memmap, and the reload re-maps instead of loading
     ck = tmp_path / "spill.ckpt"

@@ -75,6 +75,33 @@ def test_corrupt_lzma_rejected_without_growth(stream):
     assert time.time() - t0 < 5.0
 
 
+def test_huge_declared_dimensions_rejected():
+    """A crafted SetDimensions declaring a 65535x65535 tilemap must be
+    rejected by the allocation-byte guard, not attempted (tiles4 alone
+    would be terabytes)."""
+    import struct
+
+    from tiler_tpu.bitstream.gtm import GTM_COMMANDS
+    from tiler_tpu.bitstream import lzma_codec
+
+    payload = struct.pack(
+        "<HHHIIH",
+        GTM_COMMANDS.SetDimensions,  # cmd word, data=0
+        0xFFFF,  # width in tiles
+        0xFFFF,  # height in tiles
+        40_000_000,  # frame length ns
+        12,  # declared tile count (innocuous)
+        GTM_COMMANDS.FrameEnd | (1 << 4),
+    )
+    blob = lzma_codec.compress(payload)
+    t0 = time.time()
+    with pytest.raises(GTMFormatError):
+        GTMDecoder(blob).decode_frames()
+    with pytest.raises(GTMFormatError):
+        GTMReader.read(blob)
+    assert time.time() - t0 < 5.0
+
+
 def test_valid_stream_still_decodes(stream):
     g = GTMReader.read(stream)
     assert len(g.frames) == 4

@@ -66,6 +66,38 @@ def test_truncated_stream_fails_cleanly():
         native.lzma_decompress_stream(enc[: len(enc) // 2], max_out=1 << 24)
 
 
+def test_extreme_expansion_ratio_decodes():
+    """Valid LZMA ratios are unbounded (constant payloads hit 7000x+);
+    the decoder must keep growing its buffer on the retryable code and
+    never reject a valid stream for expanding 'too much'."""
+    data = b"\x00" * (2 << 20)
+    enc = native.lzma_compress(data, lc=8)
+    assert len(data) / len(enc) > 4096  # the bug's old false ceiling
+    d, used = native.lzma_decompress_stream(enc)
+    assert d == data and used == len(enc)
+
+
+def test_corrupt_stream_fails_without_growth():
+    """A corrupt stream must raise promptly (distinct -1 return code),
+    not grow-and-retry to max_out."""
+    import time
+
+    enc0 = native.lzma_compress(b"payload " * 5000, lc=8)
+    t0 = time.time()
+    raised = 0
+    for pos in range(20, len(enc0) - 1, max(1, len(enc0) // 64)):
+        enc = bytearray(enc0)
+        enc[pos] ^= 0xFF
+        try:
+            native.lzma_decompress_stream(bytes(enc))
+        except ValueError:
+            raised += 1
+    # LZMA has no checksum, so SOME flips decode as garbage — but none
+    # may spiral into the old grow-to-2GB retry loop
+    assert time.time() - t0 < 5.0
+    assert raised > 0
+
+
 def test_optimal_beats_greedy_on_structured():
     data = open("/root/repo/SURVEY.md", "rb").read()
     opt = native.lzma_compress(data, lc=8, depth=-48)

@@ -59,7 +59,8 @@ def _format_guard(fn):
             return fn(*a, **kw)
         except GTMFormatError:
             raise
-        except (struct.error, IndexError, KeyError, ValueError, OverflowError) as e:
+        except (struct.error, IndexError, KeyError, ValueError, OverflowError,
+                MemoryError) as e:
             raise GTMFormatError(f"malformed GTM stream: {e}") from e
 
     return wrap
@@ -604,13 +605,15 @@ class GTMReader:
                     ns = r.u32()
                     g.fps = 1e9 / ns if ns else 0.0
                     g.tile_count = r.u32()
-                    # each TileSet tile costs 64 payload bytes and a
-                    # frame's cells <= 2048x its payload (2-byte words,
-                    # 4096-cell skip blocks), so counts beyond that are
-                    # corrupt declarations, not big files — reject
-                    # instead of allocating gigabytes
+                    # reject corrupt declarations by allocation BYTES
+                    # (64 B/tile storage; ~27 B/cell/frame tilemap
+                    # arrays), capped at 64x the total payload with a
+                    # 1 GiB floor — see the same guard in decode_frames
                     total = sum(len(p) for p in payloads)
-                    if g.tile_count > total or g.tilemap_w * g.tilemap_h > 2048 * total:
+                    cells = g.tilemap_w * g.tilemap_h
+                    if (g.tile_count > total
+                            or g.tile_count * 64 + cells * 32
+                            > max(1 << 30, 64 * total)):
                         raise GTMFormatError(
                             f"implausible dimensions {g.width}x{g.height}"
                             f"/{g.tile_count}")
@@ -776,10 +779,15 @@ class GTMDecoder:
                 height = r.u16()
                 r.u32()  # frame length ns
                 tile_count = r.u32()
-                # a valid stream spends >=2 payload bytes per frame and
-                # covers <=4096 cells per skip word, so cells can never
-                # exceed 2048x the payload; tiles cost 64 bytes each
-                if tile_count > len(r.b) or width * height > 2048 * len(r.b):
+                # reject corrupt declarations by the BYTES they would
+                # allocate (tiles4 at 256 B/slot + two RGBA buffers at
+                # 256 B/cell), capped at 64x the payload with a 1 GiB
+                # floor — generous for any real stream (a 720p encode
+                # allocates ~25 MB here), tiny against the TB-scale
+                # asks a flipped u16 width can produce
+                cells = width * height
+                alloc = 4 * (tile_count + 2 * cells) * 64 + 2 * cells * 256
+                if tile_count > len(r.b) or alloc > max(1 << 30, 64 * len(r.b)):
                     raise GTMFormatError(
                         f"implausible dimensions {width}x{height}/{tile_count}")
                 cur_intra = tile_count

@@ -184,9 +184,14 @@ class EncoderSettings:
         for kv in spec.split(","):
             if not kv:
                 continue
-            k, v = kv.split("=")
+            k, v = kv.split("=", 1)
             t = type(getattr(self, k))
-            setattr(self, k, bool(int(v)) if t is bool else t(v))
+            if t is bool:  # same forms as from_ini: 0/1 and true/false
+                low = v.strip().lower()
+                val = low == "true" if low in ("true", "false") else bool(int(v))
+            else:
+                val = t(v)
+            setattr(self, k, val)
         return self
 
     def to_ini(self) -> str:

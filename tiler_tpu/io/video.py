@@ -70,6 +70,14 @@ class _FrameSink:
             raise ValueError("no frames")
         if self.n == len(self.buf):
             return self.buf
+        # RAM-backed with a big growth overhang: trim with one copy so
+        # the pipeline doesn't pin up to 1.5x the clip for its whole
+        # life via the view's base. Memmap overhang is disk, not RAM —
+        # keep the view (a copy would materialize it in RAM).
+        if not isinstance(self.buf, np.memmap) and (
+            len(self.buf) - self.n > max(64, self.n // 10)
+        ):
+            self.buf = np.ascontiguousarray(self.buf[: self.n])
         return self.buf[: self.n]  # view, no copy
 
 

@@ -99,11 +99,11 @@ def lzma_decompress_stream(buf: bytes, offset: int = 0,
     need_space = ctypes.c_size_t(-2).value
     # grow output until it fits; ONLY on the retryable "out_cap too
     # small" code. A corrupt stream fails immediately — growing on it
-    # turned bit-flipped inputs into multi-GB allocation storms. 4096x
-    # is far beyond LZMA's real expansion ceiling (~136x), so hitting
-    # it means a corrupt (e.g. bit-flipped) size declaration.
+    # turned bit-flipped inputs into multi-GB allocation storms. No
+    # relative expansion heuristic: valid LZMA ratios are unbounded
+    # (measured 7000x+ on constant payloads), so the only ceiling is
+    # the caller's absolute max_out.
     cap = max(4 * len(src), 1 << 16)
-    limit = min(max_out, 4096 * max(len(src), 1))
     while True:
         out = ctypes.create_string_buffer(cap)
         used = ctypes.c_size_t(0)
@@ -112,8 +112,8 @@ def lzma_decompress_stream(buf: bytes, offset: int = 0,
             raise ValueError("corrupt LZMA stream")
         if n != need_space:
             return out.raw[:n], used.value
-        if cap > limit:
-            raise ValueError("LZMA stream declares an implausible size")
+        if cap > max_out:
+            raise ValueError("LZMA stream larger than max_out")
         cap *= 4
 
 

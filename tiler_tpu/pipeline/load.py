@@ -102,7 +102,12 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
     state._finalize_ingest (see module docstring); every downstream
     consumer of keyframes/flags calls state.ensure_ingest() first.
     """
-    frames_rgb = np.ascontiguousarray(frames_rgb)
+    if not frames_rgb.flags["C_CONTIGUOUS"]:
+        # only copy when actually needed: np.ascontiguousarray strips
+        # the np.memmap subclass, which would silently re-materialize a
+        # disk-spilled frames array in RAM (and break the checkpoint
+        # sidecar's isinstance(np.memmap) detection)
+        frames_rgb = np.ascontiguousarray(frames_rgb)
     if frames_rgb.shape[1] % TILE_W or frames_rgb.shape[2] % TILE_W:
         frames_rgb = np.stack([pad_frame(f) for f in frames_rgb])
     F, H, W, _ = frames_rgb.shape
