@@ -18,10 +18,17 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import os
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/tiler_tpu_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # platform override BEFORE any tiler import: module-level jnp
+    # constants (ops/metrics.py) init the backend at import, which hangs
+    # forever on a dead axon tunnel — the knob exists to escape that
+    if os.environ.get("TILER_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["TILER_TPU_PLATFORM"])
 
     from tiler_tpu.bitstream.gtm import GTMDecoder, parse_header
     from tiler_tpu.config import EncoderSettings
@@ -50,10 +57,7 @@ def main():
     )
     # settings overrides, e.g. PB_SETTINGS=epu_two_stage=1 (same syntax
     # as chip_playbook children) — for pre-promotion quality gates
-    import os
     settings.apply_overrides(os.environ.get("PB_SETTINGS", ""))
-    if os.environ.get("TILER_TPU_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["TILER_TPU_PLATFORM"])
     enc = Encoder(settings)
     t0 = time.time()
     enc.run_all(frames, fps=fps, out_path="/tmp/city_ours.gtm")
