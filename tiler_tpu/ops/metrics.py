@@ -6,12 +6,17 @@ References: EuclideanToPSNR (utils.pas:1074-1078), PearsonCorrelation
 """
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 TILE_DCT_SIZE = 192
 
-# cPsnrMaxValue = 10*log10(255^2/0.5) (utils.pas:112)
-PSNR_MAX = 10 * jnp.log10(255 * 255 / 0.5)
+# cPsnrMaxValue = 10*log10(255^2/0.5) (utils.pas:112). Plain float: a
+# jnp scalar here would init the JAX backend at IMPORT time, which
+# blocks forever when the axon tunnel is down (every consumer of this
+# module used to need a watchdog-wrapped import because of it)
+PSNR_MAX = 10 * math.log10(255 * 255 / 0.5)
 
 
 def euclidean_to_psnr(err):

@@ -32,8 +32,11 @@ from ..config import EncoderSettings
 from ..models.state import EncodeState
 
 _RNG = np.random.RandomState(0x5EED)
-_C1 = jnp.asarray((_RNG.randint(0, 1 << 31, 192) * 2 + 1).astype(np.int32))
-_C2 = jnp.asarray((_RNG.randint(0, 1 << 31, 192) * 2 + 1).astype(np.int32))
+# host numpy constants: a module-level jnp.asarray would init the JAX
+# backend at import time (hangs forever on a dead axon tunnel); inside
+# the jit trace they become on-device constants all the same
+_C1 = (_RNG.randint(0, 1 << 31, 192) * 2 + 1).astype(np.int32)
+_C2 = (_RNG.randint(0, 1 << 31, 192) * 2 + 1).astype(np.int32)
 
 
 @jax.jit

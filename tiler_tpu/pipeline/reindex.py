@@ -21,8 +21,9 @@ from ..config import EncoderSettings
 from ..models.state import EncodeState
 
 _RNG = np.random.RandomState(0x1DE7)
-_C1 = jnp.asarray((_RNG.randint(0, 1 << 31, 64) * 2 + 1).astype(np.int32))
-_C2 = jnp.asarray((_RNG.randint(0, 1 << 31, 64) * 2 + 1).astype(np.int32))
+# host numpy constants (no import-time backend init; see reduce.py)
+_C1 = (_RNG.randint(0, 1 << 31, 64) * 2 + 1).astype(np.int32)
+_C2 = (_RNG.randint(0, 1 << 31, 64) * 2 + 1).astype(np.int32)
 
 
 @jax.jit
