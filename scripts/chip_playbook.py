@@ -76,6 +76,19 @@ print("PBJSON " + json.dumps({
 """
 
 
+def probe(timeout_s=90):
+    """Cheap disposable-child tunnel probe (the main process must never
+    touch the backend itself — a wedged tunnel hangs it forever)."""
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((128, 128)); print(float((x @ x).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def run_child(name, env_extra, frames, timeout=3000):
     env = dict(os.environ, PB_FRAMES=str(frames), **env_extra)
     print(f"=== {name} ({env_extra or 'defaults'}) ===", flush=True)
@@ -99,61 +112,85 @@ def run_child(name, env_extra, frames, timeout=3000):
 
 def main():
     quick = "--quick" in sys.argv
+    fresh = "--fresh" in sys.argv
     frames = 8 if quick else 16
-    results = {"frames": frames, "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
 
-    results["baseline"] = run_child("baseline", {}, frames)
+    # Resumable across tunnel flaps: reload prior results and skip any
+    # child that already measured (has "fps"); persist after EVERY child;
+    # probe between children and exit rc=2 the moment the tunnel dies so
+    # the recovery watcher can re-enter its probe loop instead of letting
+    # each remaining child eat its full 50-min timeout.
+    results = {"frames": frames, "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+    if not fresh and os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                prev = json.load(f)
+            if prev.get("frames") == frames:
+                results.update({k: v for k, v in prev.items()
+                                if k not in ("ts",)})
+                done = [k for k, v in results.items()
+                        if isinstance(v, dict) and "fps" in v]
+                print(f"resuming {OUT}: {len(done)} children already "
+                      f"measured ({', '.join(done)})", flush=True)
+        except (json.JSONDecodeError, OSError):
+            pass
+
+    def save():
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=1)
+
+    def measure(key, name, env_extra, timeout=3000):
+        if isinstance(results.get(key), dict) and "fps" in results[key]:
+            return
+        if not probe():
+            print(f"tunnel died before child {key!r}; saving partial "
+                  f"results and exiting 2", flush=True)
+            save()
+            sys.exit(2)
+        results[key] = run_child(name, env_extra, frames, timeout=timeout)
+        save()
+
+    measure("baseline", "baseline", {})
     # realistic content runs ~2.5x slower than synthetic (BENCH_r3_g);
     # its synced split shows which stage pays for real-content corpora
-    results["city"] = run_child("city upscaled", {"PB_CONTENT": "city"},
-                                frames)
-    results["ivf"] = run_child("ivf knn", {"PB_SETTINGS": "knn_backend=ivf"},
-                               frames)
-    results["ivf_p16"] = run_child(
-        "ivf knn P=16", {"PB_SETTINGS": "knn_backend=ivf,ivf_probes=16"},
-        frames)
-    results["motion_d48"] = run_child(
-        "motion rank dims 48", {"PB_SETTINGS": "motion_rank_dims=48"},
-        frames)
+    measure("city", "city upscaled", {"PB_CONTENT": "city"}, timeout=4800)
+    measure("ivf", "ivf knn", {"PB_SETTINGS": "knn_backend=ivf"})
+    measure("ivf_p16", "ivf knn P=16",
+            {"PB_SETTINGS": "knn_backend=ivf,ivf_probes=16"})
+    measure("motion_d48", "motion rank dims 48",
+            {"PB_SETTINGS": "motion_rank_dims=48"})
     # r=6 -> 108 dims: under one 128-lane tile (192 occupies 1.5); the
     # d48 child measured slower from sub-128 padding, 108 pads only 16%
-    results["motion_d108"] = run_child(
-        "motion rank dims 108", {"PB_SETTINGS": "motion_rank_dims=108"},
-        frames)
+    measure("motion_d108", "motion rank dims 108",
+            {"PB_SETTINGS": "motion_rank_dims=108"})
     # halve the EPU candidate list (the re-rank is the largest reconstruct
     # block); the combo filter's psnr/bytes gates decide if quality holds
-    results["epu_k32"] = run_child(
-        "EPU knn k=32", {"PB_SETTINGS": "epu_knn_k=32"}, frames)
-    results["kmeans_i12"] = run_child(
-        "kmeans 12 iters", {"PB_SETTINGS": "kmeans_iters=12"}, frames)
+    measure("epu_k32", "EPU knn k=32", {"PB_SETTINGS": "epu_knn_k=32"})
+    measure("kmeans_i12", "kmeans 12 iters",
+            {"PB_SETTINGS": "kmeans_iters=12"})
     # halo-blocked motion rank is the r4 default (bit-identical output;
     # removes the 0.4 GB/frame shift stack) — this child REVERTS it so
     # the unattended run proves the new default is not a regression
-    results["motion_halo_off"] = run_child(
-        "motion halo off (old full stack)", {"TILER_TPU_MOTION_BM": "0"},
-        frames)
-    results["motion_bm16"] = run_child(
-        "motion halo BM=16", {"TILER_TPU_MOTION_BM": "16"}, frames)
-    results["epu_g8"] = run_child(
-        "int8 EPU G table", {"PB_SETTINGS": "epu_int8_tables=1"}, frames)
+    measure("motion_halo_off", "motion halo off (old full stack)",
+            {"TILER_TPU_MOTION_BM": "0"})
+    measure("motion_bm16", "motion halo BM=16", {"TILER_TPU_MOTION_BM": "16"})
+    measure("epu_g8", "int8 EPU G table",
+            {"PB_SETTINGS": "epu_int8_tables=1"})
     # two-stage EPU (int8 low-freq G + int16 Q rank, exact top-M): Gi /8,
     # Qi /2 — 99.3% winner agreement at CIF/256 (scripts/ab_epu_lowrank)
-    results["epu_2s"] = run_child(
-        "two-stage EPU", {"PB_SETTINGS": "epu_two_stage=1"}, frames)
-    results["epu_2s_k32"] = run_child(
-        "two-stage EPU + k=32",
-        {"PB_SETTINGS": "epu_two_stage=1,epu_knn_k=32"}, frames)
+    measure("epu_2s", "two-stage EPU", {"PB_SETTINGS": "epu_two_stage=1"})
+    measure("epu_2s_k32", "two-stage EPU + k=32",
+            {"PB_SETTINGS": "epu_two_stage=1,epu_knn_k=32"})
     # VERDICT r2 #1 asks for PSNR "within 0.3 dB of r02 at equal corpus
     # size": r02's 115,537-tile corpus was the tie-block overshoot bug
     # (2x the derived budget), so pin its corpus explicitly and show the
     # fixed rate control reaches at least r02's quality there
-    results["corpus_r02"] = run_child(
-        "corpus pinned at r02's 115537",
-        {"PB_SETTINGS": "global_tiling_tile_count=115537"}, frames)
+    measure("corpus_r02", "corpus pinned at r02's 115537",
+            {"PB_SETTINGS": "global_tiling_tile_count=115537"})
     if not quick:
         for blk in (2048, 4096):
-            results[f"tk_blk_{blk}"] = run_child(
-                f"tk blk {blk}", {"TILER_TPU_TK_BLK": str(blk)}, frames)
+            measure(f"tk_blk_{blk}", f"tk blk {blk}",
+                    {"TILER_TPU_TK_BLK": str(blk)})
 
     # combo: merge every candidate that beat baseline by >=2% fps without
     # hurting quality (psnr -0.15 dB) or size (+2%), and measure the set
@@ -214,12 +251,10 @@ def main():
                     combo_env[ek] = ev
             combo_keys.append(k)
     if len(combo_keys) > 1:
-        results["combo"] = run_child(f"combo {'+'.join(combo_keys)}",
-                                     combo_env, frames)
         results["combo_flags"] = combo_keys
+        measure("combo", f"combo {'+'.join(combo_keys)}", combo_env)
 
-    with open(OUT, "w") as f:
-        json.dump(results, f, indent=1)
+    save()
     print(f"\nwrote {OUT}")
     base = results.get("baseline", {})
     for k, v in results.items():
