@@ -190,12 +190,17 @@ def inv_tile_features(feat, mode: str = "weighted_dct", use_lab: bool = False, c
     return yuv_to_rgb(cpn, clamp=clamp)
 
 
+# Python float (weakly typed): keeps f32 operands f32 — an np.float64
+# scalar would promote them and make the wavelet scatter an unsafe cast
+_ISQRT2 = float(np.sqrt(2) / 2)
+
+
 def _haar_pair(v):
     """One normalized Haar step along the last-but-one (row-pair) axis."""
     a = v[..., 0::2, :, :]
     b = v[..., 1::2, :, :]
-    s = (a + b) * (np.sqrt(2) / 2)
-    d = (a - b) * (np.sqrt(2) / 2)
+    s = (a + b) * _ISQRT2
+    d = (a - b) * _ISQRT2
     return jnp.concatenate([s, d], axis=-3)
 
 
@@ -211,11 +216,11 @@ def _wavelet2(cpn):
         # rows: pairs along x
         a = sub[..., :, 0::2, :]
         b = sub[..., :, 1::2, :]
-        rows = jnp.concatenate([(a + b), (a - b)], axis=-2) * (np.sqrt(2) / 2)
+        rows = jnp.concatenate([(a + b), (a - b)], axis=-2) * _ISQRT2
         # cols: pairs along y
         a = rows[..., 0::2, :, :]
         b = rows[..., 1::2, :, :]
-        cols = jnp.concatenate([(a + b), (a - b)], axis=-3) * (np.sqrt(2) / 2)
+        cols = jnp.concatenate([(a + b), (a - b)], axis=-3) * _ISQRT2
         x = x.at[..., :size, :size, :].set(cols)
     return x
 
@@ -229,14 +234,14 @@ def _inv_wavelet2(z):
         # cols inverse
         s = sub[..., :h, :, :]
         d = sub[..., h:, :, :]
-        a = (s + d) * (np.sqrt(2) / 2)
-        b = (s - d) * (np.sqrt(2) / 2)
+        a = (s + d) * _ISQRT2
+        b = (s - d) * _ISQRT2
         cols = jnp.stack([a, b], axis=-3).reshape(*a.shape[:-3], size, size, a.shape[-1])
         # rows inverse
         s = cols[..., :, :h, :]
         d = cols[..., :, h:, :]
-        a = (s + d) * (np.sqrt(2) / 2)
-        b = (s - d) * (np.sqrt(2) / 2)
+        a = (s + d) * _ISQRT2
+        b = (s - d) * _ISQRT2
         rows = jnp.stack([a, b], axis=-2).reshape(*a.shape[:-3], size, size, a.shape[-1])
         x = x.at[..., :size, :size, :].set(rows)
     return x
