@@ -19,12 +19,22 @@
 //              the optimal size; branchless range coder, prefetched
 //              chain inserts).
 //
+// The optimal parse is 2-thread capable: the hash-chain match finder
+// (the only owner of head/prevp) streams per-position candidate lists
+// through an SPSC ring to the price-DP + range coder — the same
+// finder/coder split 7-zip's LzmaEnc uses for its 2-thread mode. The
+// finder logic is identical inline (threads=1) or on its own thread,
+// so output bytes never depend on thread count.
+//
 // C ABI for ctypes:
-//   gtm_lzma_compress(in, in_len, out, out_cap, lc, lp, pb, dict, depth)
+//   gtm_lzma_compress(in, in_len, out, out_cap, lc, lp, pb, dict, depth,
+//                     threads)
 //   gtm_lzma_decompress(in, in_len, out, out_cap, &consumed, max_out)
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -252,6 +262,34 @@ inline int pos_slot_of(u32 dist) {
 // ---------------------------------------------------------------------------
 // Encoder
 // ---------------------------------------------------------------------------
+// Per-position match lists streamed finder -> DP. Slot layout (u32s):
+// [0] = count nc, [1..cap] = lens, [1+cap..2cap] = dists; lens strictly
+// increasing, so slot[nc] is the longest candidate and slot[cap+nc] its
+// distance. fpos/skip_until are producer-private; filled/consumed are
+// the SPSC cursors.
+struct MatchRing {
+  u32 cap = 1, stride = 3;
+  size_t ring = 1, mask = 0;
+  std::vector<u32> buf;
+  std::atomic<size_t> filled{0};
+  std::atomic<size_t> consumed{0};
+  size_t fpos = 0;
+  size_t skip_until = 0;
+
+  void init(int depth) {
+    cap = (u32)(depth < 1 ? 1 : (depth > 64 ? 64 : depth));
+    stride = 1 + 2 * cap;
+    int rbits = 18;  // 256K positions in flight at the default depth
+    while ((((size_t)stride << rbits) * 4) > (64u << 20) && rbits > 13)
+      rbits--;
+    ring = (size_t)1 << rbits;
+    mask = ring - 1;
+    buf.assign(ring * stride, 0);
+  }
+  u32* slot(size_t pos) { return &buf[(pos & mask) * stride]; }
+  const u32* slot(size_t pos) const { return &buf[(pos & mask) * stride]; }
+};
+
 struct Encoder {
   int lc, lp, pb;
   u32 pb_mask, lp_mask;
@@ -456,42 +494,6 @@ struct Encoder {
     }
     while (l < maxl && a[l] == b[l]) l++;
     return l;
-  }
-
-  // best match via hash chains; returns (len, dist) with len >= 2 or len 0
-  void find_match(const u8* data, size_t n, size_t pos, u32& best_len,
-                  u32& best_dist) {
-    best_len = 0;
-    best_dist = 0;
-    if (pos + 4 > n) return;
-    int32_t cand = head[hash4(data + pos)];
-    int d = depth;
-    u32 maxl = (u32)((n - pos < kMaxLen) ? (n - pos) : kMaxLen);
-    while (cand >= 0 && d-- > 0) {
-      u32 dist = (u32)(pos - cand - 1);
-      const u8* a = data + pos;
-      const u8* b = data + cand;
-      if (best_len == 0 || b[best_len] == a[best_len]) {
-        u32 l = extend(a, b, maxl);
-        if (l > best_len) {
-          best_len = l;
-          best_dist = dist;
-          if (l >= maxl) break;
-        }
-      }
-      cand = prevp[cand];
-    }
-    if (best_len < 2) best_len = 0;
-    // long distances need length >= 3..4 to pay off (price heuristic)
-    if (best_len == 2 && best_dist >= 512) best_len = 0;
-    if (best_len == 3 && best_dist >= (1u << 15)) best_len = 0;
-  }
-
-  void insert(const u8* data, size_t n, size_t pos) {
-    if (pos + 4 > n) return;
-    u32 h = hash4(data + pos);
-    prevp[pos] = head[h];
-    head[h] = (int32_t)pos;
   }
 
   static u32 hash5(const u8* p) {
@@ -720,6 +722,60 @@ struct Encoder {
     return cnt;
   }
 
+  // Advance the match finder until `target` positions are published (or
+  // n). The finder is the sole owner of head/prevp; it inserts EVERY
+  // position and collects candidates outside its own long-match skip
+  // window (>=32-byte match skips to its tail-8, the numFastBytes-skip
+  // analog — finder-local, so the result is a pure function of the
+  // input regardless of which thread runs it).
+  void run_finder_until(const u8* data, size_t n, MatchRing& r,
+                        size_t target, bool threaded) {
+    if (target > n) target = n;
+    size_t pos = r.fpos;
+    while (pos < target) {
+      if (threaded) {
+        // never lap the consumer; publish before blocking so it can run
+        if (pos - r.consumed.load(std::memory_order_acquire) >=
+            r.ring - 8) {
+          r.filled.store(pos, std::memory_order_release);
+          do {
+            std::this_thread::yield();
+          } while (pos - r.consumed.load(std::memory_order_acquire) >=
+                   r.ring - 8);
+        }
+      }
+      u32* s = r.slot(pos);
+      int nc = 0;
+      if (pos + 4 <= n) {
+        // hide the next chain head / candidate misses under this walk
+        if (pos + 8 + 4 <= n) {
+          int32_t cf = head[hash4(data + pos + 8)];
+          if (cf >= 0) {
+            __builtin_prefetch(data + cf);
+            __builtin_prefetch(&prevp[cf]);
+          }
+        }
+        u32 h = hash4(data + pos);
+        if (pos >= r.skip_until)
+          nc = collect_matches(data, n, pos, s + 1, s + 1 + r.cap,
+                               (int)r.cap, h);
+        prevp[pos] = head[h];
+        head[h] = (int32_t)pos;
+      }
+      s[0] = (u32)nc;
+      if (nc) {
+        u32 lm = s[nc];
+        if (lm >= 32 && pos + lm > r.skip_until + 8)
+          r.skip_until = pos + lm - 8;
+      }
+      pos++;
+      if (threaded && (pos & 255) == 0)
+        r.filled.store(pos, std::memory_order_release);
+    }
+    r.fpos = pos;
+    r.filled.store(pos, std::memory_order_release);
+  }
+
   struct Node {
     u32 price;
     int back;
@@ -775,12 +831,34 @@ struct Encoder {
   }
 
   size_t compress_optimal(const u8* data, size_t n, std::vector<u8>& out,
-                          u32 dict_size) {
+                          u32 dict_size, int threads = 1) {
     out.push_back((u8)((pb * 5 + lp) * 9 + lc));
     for (int i = 0; i < 4; i++) out.push_back((u8)(dict_size >> (8 * i)));
     for (int i = 0; i < 8; i++) out.push_back(0xFF);
 
     prevp.assign(n, -1);
+    MatchRing ring;
+    ring.init(depth);
+    bool ahead = threads >= 2;
+    std::thread finder;
+    if (ahead)
+      finder = std::thread(
+          [&] { run_finder_until(data, n, ring, n, true); });
+    size_t seen = 0;  // consumer-cached `filled` (skips the atomic load)
+    auto need = [&](size_t pos1) {
+      if (ahead) {
+        if (seen < pos1) {
+          seen = ring.filled.load(std::memory_order_acquire);
+          while (seen < pos1) {
+            std::this_thread::yield();
+            seen = ring.filled.load(std::memory_order_acquire);
+          }
+        }
+      } else if (ring.fpos < pos1) {
+        // inline mode: produce a window's worth ahead in one burst
+        run_finder_until(data, n, ring, pos1 + 4095, false);
+      }
+    };
     RangeEncoder rc;
     rc.attach(out, n + n / 8);
 
@@ -792,13 +870,9 @@ struct Encoder {
     std::vector<Node> nodes(W + 1);
     std::vector<int> path;
     std::vector<u32> lit_cache(W);
-    u32 mlens[64], mdists[64];
 
     size_t pos = 0;
     unsigned win_counter = 0;
-    size_t skip_mf_until = 0;  // long-run fast path: positions inside a
-    // found long match skip the match finder (rep relaxes still run, so
-    // the DP stays connected); LzmaEnc's numFastBytes skip analog
     while (pos < n) {
       {
         u32 brl = 0;
@@ -811,18 +885,26 @@ struct Encoder {
           }
         }
         u32 ml = 0, md = 0;
-        if (pos >= skip_mf_until) find_match(data, n, pos, ml, md);
+        need(pos + 1);
+        {
+          const u32* s = ring.slot(pos);
+          u32 nc = s[0];
+          if (nc) {
+            ml = s[nc];
+            md = s[ring.cap + nc];
+          }
+        }
         u32 ps2 = (u32)pos & pb_mask;
         if (brl >= kFastEmit && brl + 1 >= ml) {
           encode_rep(rc, ps2, br, brl);
-          for (size_t p2 = pos; p2 < pos + brl; p2++) insert(data, n, p2);
           pos += brl;
+          ring.consumed.store(pos, std::memory_order_release);
           continue;
         }
         if (ml >= kFastEmit) {
           encode_match(rc, ps2, md, ml);
-          for (size_t p2 = pos; p2 < pos + ml; p2++) insert(data, n, p2);
           pos += ml;
+          ring.consumed.store(pos, std::memory_order_release);
           continue;
         }
       }
@@ -841,18 +923,6 @@ struct Encoder {
         Node& nd = nodes[i];
         if (nd.price == 0xFFFFFFFFu) continue;
         size_t ap = pos + i;
-        // software pipeline: the match finder's misses are data+cand and
-        // prevp[cand], unknown until head[h] is read — but head (512KB)
-        // stays in L2, so reading the FUTURE position's bucket now and
-        // prefetching its candidate hides ~a miss per position. The stale
-        // head read is only a hint; correctness is untouched.
-        if (ap + 8 + 4 <= n) {
-          int32_t cf = head[hash4(data + ap + 8)];
-          if (cf >= 0) {
-            __builtin_prefetch(data + cf);
-            __builtin_prefetch(&prevp[cf]);
-          }
-        }
         u32 ps = (u32)ap & pb_mask;
         int st = nd.st;
 
@@ -888,12 +958,10 @@ struct Encoder {
           }
         }
         // rep matches
-        u32 max_l_here = 0;
         for (int r = 0; r < 4; r++) {
           u32 dd0 = nd.reps[r];
           if (dd0 + 1 > ap || data[ap] != data[ap - dd0 - 1]) continue;
           u32 L = match_len(data, n, ap, nd.reps[r]);
-          if (L > max_l_here) max_l_here = L;
           if (L > (u32)(B - i)) L = (u32)(B - i);
           if (L < 2) continue;
           u32 nreps[4];
@@ -923,21 +991,13 @@ struct Encoder {
                  len++)
               relax(i + (int)len, base + rlp[len], len, (u32)r, nst, nreps);
         }
-        // normal matches (skipped inside long runs)
-        int nc = 0;
-        u32 h_ap = ap + 4 <= n ? hash4(data + ap) : 0;
-        if (ap >= skip_mf_until)
-          nc = collect_matches(data, n, ap, mlens, mdists, 64, h_ap);
-        if (ap + 4 <= n) {
-          prevp[ap] = head[h_ap];
-          head[h_ap] = (int32_t)ap;
-        }
-        if (nc) {
-          u32 lm = mlens[nc - 1];
-          if (lm > max_l_here) max_l_here = lm;
-        }
-        if (max_l_here >= 32 && ap + max_l_here > skip_mf_until + 8)
-          skip_mf_until = ap + max_l_here - 8;
+        // normal matches (candidate lists streamed from the finder;
+        // long runs arrive pre-skipped by its finder-local rule)
+        need(ap + 1);
+        const u32* ms = ring.slot(ap);
+        int nc = (int)ms[0];
+        const u32* mlens = ms + 1;
+        const u32* mdists = ms + 1 + ring.cap;
         u32 prev_len = 1;
         for (int c = 0; c < nc; c++) {
           u32 L = mlens[c];
@@ -987,7 +1047,11 @@ struct Encoder {
         }
       }
       pos += (size_t)B;
+      ring.consumed.store(pos, std::memory_order_release);
     }
+
+    ring.consumed.store(n, std::memory_order_release);
+    if (finder.joinable()) finder.join();
 
     u32 ps = (u32)pos & pb_mask;
     rc.encode_bit(is_match, (state << 4) + (int)ps, 1);
@@ -1233,17 +1297,27 @@ extern "C" {
 // Compress `in` into `out` (caller-allocated, out_cap bytes).
 // Returns bytes written, or 0 if out_cap too small / bad params.
 size_t gtm_lzma_compress(const u8* in, size_t in_len, u8* out, size_t out_cap,
-                         int lc, int lp, int pb, u32 dict_size, int depth) {
+                         int lc, int lp, int pb, u32 dict_size, int depth,
+                         int threads) {
   // depth > 0: greedy/lazy with that chain depth;
   // depth < 0: price-based optimal parse with chain depth |depth|.
+  // threads <= 0: auto (finder-ahead thread when a second core exists
+  // and the payload amortizes thread startup); output bytes are
+  // identical at every thread count.
   if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4) return 0;
   bool optimal = depth < 0;
   if (depth == 0) depth = 64;
+  if (threads <= 0)
+    threads = (std::thread::hardware_concurrency() >= 2 &&
+               in_len >= (256u << 10))
+                  ? 2
+                  : 1;
   Encoder enc(lc, lp, pb, depth < 0 ? -depth : depth);
   std::vector<u8> buf;
   buf.reserve(in_len / 2 + 256);
   if (optimal)
-    enc.compress_optimal(in, in_len, buf, dict_size ? dict_size : (1u << 25));
+    enc.compress_optimal(in, in_len, buf, dict_size ? dict_size : (1u << 25),
+                         threads);
   else
     enc.compress(in, in_len, buf, dict_size ? dict_size : (1u << 25));
   if (buf.size() > out_cap) return 0;

@@ -103,3 +103,25 @@ def test_optimal_beats_greedy_on_structured():
     opt = native.lzma_compress(data, lc=8, depth=-48)
     greedy = native.lzma_compress(data, lc=8, depth=64)
     assert len(opt) < len(greedy)
+
+
+def test_thread_count_is_byte_invariant():
+    """The finder-ahead 2-thread optimal parse must emit EXACTLY the
+    bytes of the single-thread parse: the finder's skip rule is a pure
+    function of the input (finder-local, no DP feedback), so thread
+    count can never change the stream. Guards the SPSC ring against
+    ordering bugs that would silently alter output on multi-core
+    hosts (the driver bench host is single-core; CI may not be)."""
+    rng = np.random.RandomState(7)
+    chunks = []
+    for _ in range(40):  # structured + noise mix, ~600KB (over the
+        w = rng.randint(0, 16, 6000, dtype=np.uint16)  # auto-thread floor)
+        chunks.append(w.tobytes() * 2)
+        chunks.append(bytes(rng.randint(0, 256, 2000, dtype=np.uint8)))
+    data = b"".join(chunks)
+    one = native.lzma_compress(data, lc=8, depth=-2, threads=1)
+    two = native.lzma_compress(data, lc=8, depth=-2, threads=2)
+    auto = native.lzma_compress(data, lc=8, depth=-2, threads=0)
+    assert one == two == auto
+    dec, used = native.lzma_decompress_stream(two)
+    assert dec == data and used == len(two)

@@ -25,7 +25,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-funroll-loops", "-shared",
-             "-fPIC", "-std=c++17", "-o", _SO, _SRC],
+             "-fPIC", "-std=c++17", "-pthread", "-o", _SO, _SRC],
             check=True,
             capture_output=True,
         )
@@ -33,7 +33,8 @@ def _build() -> bool:
     except Exception:
         try:  # portable fallback (e.g. cross-built images)
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 "-o", _SO, _SRC],
                 check=True,
                 capture_output=True,
             )
@@ -60,7 +61,8 @@ def get_lib():
         lib.gtm_lzma_compress.restype = ctypes.c_size_t
         lib.gtm_lzma_compress.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint32, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
+            ctypes.c_int, ctypes.c_int,
         ]
         lib.gtm_lzma_decompress.restype = ctypes.c_size_t
         lib.gtm_lzma_decompress.argtypes = [
@@ -72,18 +74,23 @@ def get_lib():
 
 
 def lzma_compress(data: bytes, lc: int = 8, lp: int = 0, pb: int = 2,
-                  dict_size: int = 1 << 25, depth: int = -2) -> bytes:
+                  dict_size: int = 1 << 25, depth: int = -2,
+                  threads: int = 0) -> bytes:
     """depth > 0: greedy/lazy; depth < 0: optimal parse, chain |depth|.
 
     Default -2: on GTM payloads, chain depth 2 under the optimal parse
     measures SMALLER than depth 8 (44.81% vs 44.87%) and ~2x faster —
-    the DP dominates, extra chain candidates add almost nothing."""
+    the DP dominates, extra chain candidates add almost nothing.
+
+    threads: 0 = auto (optimal parse runs its match finder on a second
+    core when one exists); bytes are identical at every thread count."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native lzma unavailable")
     cap = len(data) + len(data) // 2 + 4096
     out = ctypes.create_string_buffer(cap)
-    n = lib.gtm_lzma_compress(data, len(data), out, cap, lc, lp, pb, dict_size, depth)
+    n = lib.gtm_lzma_compress(data, len(data), out, cap, lc, lp, pb, dict_size,
+                              depth, threads)
     if n == 0:
         raise RuntimeError("native lzma compress failed")
     return out.raw[:n]
