@@ -1,0 +1,24 @@
+#!/bin/sh
+# Recovery watcher for the chip A/B battery: the axon tunnel flaps every
+# ~20-30 min, and chip_playbook.py exits 2 the moment a between-children
+# probe fails (persisting partial results). Loop: probe cheaply; on
+# recovery re-enter the playbook (it resumes past measured children);
+# stop when it completes (rc 0) and leave a done marker.
+#
+#   nohup sh scripts/playbook_watch.sh > /tmp/playbook_watch.log 2>&1 &
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+while true; do
+  if timeout 90 python3 -c "import jax, jax.numpy as jnp; print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()))" >/dev/null 2>&1; then
+    echo "$(date -u +%H:%M:%S) tunnel up; (re)entering playbook" >&2
+    python3 "$ROOT/scripts/chip_playbook.py" >> /tmp/playbook.log 2>&1
+    rc=$?
+    echo "$(date -u +%H:%M:%S) playbook exited rc=$rc" >&2
+    if [ "$rc" = "0" ]; then
+      touch /tmp/playbook.done
+      exit 0
+    fi
+  else
+    echo "$(date -u +%H:%M:%S) tunnel down" >&2
+  fi
+  sleep 120
+done
