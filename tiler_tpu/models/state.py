@@ -105,6 +105,29 @@ class EncodeState:
     # concats for every later stage.
     _ingest_pieces: Optional[tuple] = field(default=None, repr=False)
 
+    # per-piece tile-pass dispatch jobs (pipelined ingest): the device
+    # executes programs in DISPATCH order, so if load enqueued every
+    # piece's tile pass itself, predict_motion's first program would sit
+    # behind the last piece's pass — which waits on the final h2d bytes
+    # (measured r4: only ~0.3 s of the 0.78 s load step hid under
+    # compute). Instead predict_motion calls run_ingest_chunk(p) right
+    # after dispatching piece p's motion program, interleaving passes
+    # with motion so compute streams while later pieces transfer.
+    _ingest_chunk_jobs: Optional[list] = field(default=None, repr=False)
+    _ingest_chunk_next: int = field(default=0, repr=False)
+
+    def run_ingest_chunk(self, p: int):
+        """Dispatch tile-pass jobs up to and including piece p (in order,
+        idempotent — jobs already dispatched are skipped)."""
+        jobs = self._ingest_chunk_jobs
+        if jobs is None:
+            return
+        while self._ingest_chunk_next < len(jobs) and self._ingest_chunk_next <= p:
+            jobs[self._ingest_chunk_next]()
+            self._ingest_chunk_next += 1
+        if self._ingest_chunk_next >= len(jobs):
+            self._ingest_chunk_jobs = None
+
     # prefetched per-cell tile hashes [2, F*N] (device array with its host
     # copy already streaming): dispatched by predict_motion so Reduce's
     # pull hides behind the motion programs

@@ -158,14 +158,26 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
                 window[i + 1] = put(i + 1)
             return window.pop(i)
 
+    # pipelined ingest: with defer=True the frame/tile concats stay OUT of
+    # the dispatch stream, exposing per-piece arrays so predict_motion's
+    # programs can start on piece 0 while pieces 1..n still stream over
+    # h2d (a concat is one op needing ALL pieces — a hard barrier that
+    # measured as the whole load step serializing in front of motion).
+    # Pieces need >= 2 leading frames for the frame-0-predicts-frame-1
+    # special case to stay within piece 0.
+    pipelined = (
+        defer and device_resident and len(starts) > 1 and piece >= 2
+    )
     tiles_parts, flag_parts, corr_parts = [], [], []
-    prev_tail = None
-    for pi in range(len(starts)):
+    ctx = {"tail": None}
+
+    def run_chunk(pi):
         p = get(pi)
         # 1-frame overlap keeps the on-device Pearson chain exact across
         # piece boundaries (tilingencoder.pas:1385-1388, :2201)
-        inp = p if prev_tail is None else jnp.concatenate([prev_tail, p])
-        skip = 0 if prev_tail is None else 1
+        tail = ctx["tail"]
+        inp = p if tail is None else jnp.concatenate([tail, p])
+        skip = 0 if tail is None else 1
         tc, fl, c = _load_chunk(inp)
         if spill:  # write-through per piece: no parts list + no 2x concat
             tiles_dest[starts[pi] : starts[pi] + (tc.shape[0] - skip)] = (
@@ -175,46 +187,54 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
                 tc[skip:] if device_resident else np.asarray(tc[skip:]))
         flag_parts.append(fl[skip:])
         corr_parts.append(c[skip:])
-        prev_tail = p[-1:]
+        ctx["tail"] = p[-1:]
 
-    # pipelined ingest: with defer=True the frame/tile concats stay OUT of
-    # the dispatch stream, exposing per-piece arrays so predict_motion's
-    # programs can start on piece 0 while pieces 1..n still stream over
-    # h2d (a concat is one op needing ALL pieces — a hard barrier that
-    # measured as the whole load step serializing in front of motion).
-    # Pieces need >= 2 leading frames for the frame-0-predicts-frame-1
-    # special case to stay within piece 0.
-    pipelined = (
-        defer and device_resident and len(tiles_parts) > 1 and piece >= 2
-    )
     if pipelined:
+        # dispatch NO tile pass here: the device executes programs in
+        # dispatch order, so enqueueing every pass now would park
+        # predict_motion's first program behind the last piece's pass,
+        # which waits on the final h2d bytes (measured r4: only ~0.3 s of
+        # the 0.78 s load step hid under compute). predict_motion calls
+        # state.run_ingest_chunk(p) after dispatching piece p's motion,
+        # interleaving passes with motion while later pieces transfer.
         state.frames_rgb = None
         state.tiles_canon = None
         state._ingest_pieces = (pieces, tiles_parts)
-    elif device_resident:
-        state.frames_rgb = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+        state._ingest_chunk_jobs = [
+            (lambda pi=pi: run_chunk(pi)) for pi in range(len(starts))]
+        state._ingest_chunk_next = 0
     else:
-        state.frames_rgb = frames_rgb
+        for pi in range(len(starts)):
+            run_chunk(pi)
+        if device_resident:
+            state.frames_rgb = (
+                pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces))
+        else:
+            state.frames_rgb = frames_rgb
     cat = jnp.concatenate if device_resident else np.concatenate
     if spill:
         state.tiles_canon = tiles_dest
     elif not pipelined:
         state.tiles_canon = tiles_parts[0] if len(tiles_parts) == 1 else cat(tiles_parts)
-    flags_dev = flag_parts[0] if len(flag_parts) == 1 else jnp.concatenate(flag_parts)
-    corr_dev = corr_parts[0] if len(corr_parts) == 1 else jnp.concatenate(corr_parts)
-    # start the (tiny) host copies now: they stream behind the queued
-    # tile-pass programs and are already local when _finalize runs
-    try:
-        flags_dev.copy_to_host_async()
-        corr_dev.copy_to_host_async()
-    except Exception:
-        pass
+    if not pipelined:
+        flags_dev = flag_parts[0] if len(flag_parts) == 1 else jnp.concatenate(flag_parts)
+        corr_dev = corr_parts[0] if len(corr_parts) == 1 else jnp.concatenate(corr_parts)
+        # start the (tiny) host copies now: they stream behind the queued
+        # tile-pass programs and are already local when _finalize runs
+        try:
+            flags_dev.copy_to_host_async()
+            corr_dev.copy_to_host_async()
+        except Exception:
+            pass
 
     tm = TileMapSoA.zeros(F, N)
     state.tilemap = tm
 
     def _finalize():
         if state._ingest_pieces is not None:
+            # dispatch any tile passes predict_motion didn't get to
+            # (stepwise runs, checkpointing, the mesh motion path)
+            state.run_ingest_chunk(len(starts) - 1)
             fp, tp = state._ingest_pieces
             state._ingest_pieces = None
             # concatenate frames and tiles SEQUENTIALLY, dropping each
@@ -225,8 +245,15 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
             del fp
             state.tiles_canon = tp[0] if len(tp) == 1 else jnp.concatenate(tp)
             del tp
-        flags = np.asarray(flags_dev)  # one small pull (N/4 bytes/frame)
-        corr = np.asarray(corr_dev).copy()
+        if pipelined:
+            fd = (flag_parts[0] if len(flag_parts) == 1
+                  else jnp.concatenate(flag_parts))
+            cd = (corr_parts[0] if len(corr_parts) == 1
+                  else jnp.concatenate(corr_parts))
+        else:
+            fd, cd = flags_dev, corr_dev
+        flags = np.asarray(fd)  # one small pull (N/4 bytes/frame)
+        corr = np.asarray(cd).copy()
         if F > 0:
             corr[0] = 1.0
         tm.hmirror = (flags & 1) != 0
@@ -238,9 +265,9 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
         kf_idx = np.cumsum(kf_flags) - 1
         state.frame_kf = kf_idx.astype(np.int32)
         state.keyframes = []
-        starts = np.flatnonzero(kf_flags)
-        for k, s in enumerate(starts):
-            e = (starts[k + 1] - 1) if k + 1 < len(starts) else F - 1
+        kf_starts = np.flatnonzero(kf_flags)
+        for k, s in enumerate(kf_starts):
+            e = (kf_starts[k + 1] - 1) if k + 1 < len(kf_starts) else F - 1
             state.keyframes.append(
                 KeyFrameInfo(k, int(s), int(e), reasons.get(int(s), "manual")))
 

@@ -99,6 +99,12 @@ def predict_motion(state: EncodeState, settings: EncoderSettings,
                 fp, prev, R, settings.int16_features,
                 settings.motion_rank_dims,
             )[:, :b])
+            # dispatch this piece's tile pass BEHIND its motion program:
+            # interleaving keeps every program's h2d dependency at piece
+            # p or earlier, so the device streams through motion while
+            # later pieces are still in flight (load.py defers the
+            # passes for exactly this ordering)
+            state.run_ingest_chunk(p)
     else:
         frames = state.frames_rgb
         chunk = _frame_chunk(state.height, state.width)
