@@ -17,6 +17,7 @@ device work, so the pull and the keyframe loop hide under queued compute.
 """
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import jax
@@ -203,6 +204,12 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
         state._ingest_chunk_jobs = [
             (lambda pi=pi: run_chunk(pi)) for pi in range(len(starts))]
         state._ingest_chunk_next = 0
+        if os.environ.get("TILER_TPU_INGEST_EAGER"):
+            # profiling hook: dispatch every tile pass here (the r3
+            # ordering) so within-window A/Bs can isolate the interleave
+            # (window-to-window tunnel variance swamps cross-window
+            # comparisons); not a config surface
+            state.run_ingest_chunk(len(starts) - 1)
     else:
         for pi in range(len(starts)):
             run_chunk(pi)
