@@ -8,6 +8,13 @@
 #   nohup sh scripts/playbook_watch.sh > /tmp/playbook_watch.log 2>&1 &
 ROOT="$(cd "$(dirname "$0")/.." && pwd)"
 while true; do
+  if [ -e /tmp/cpu_busy ]; then
+    # a CPU-heavy job (test suite) owns the 1-core host; measuring now
+    # would contaminate the children's host-side step timings
+    echo "$(date -u +%H:%M:%S) cpu busy; waiting" >&2
+    sleep 120
+    continue
+  fi
   if timeout 90 python3 -c "import jax, jax.numpy as jnp; print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()))" >/dev/null 2>&1; then
     echo "$(date -u +%H:%M:%S) tunnel up; (re)entering playbook" >&2
     python3 "$ROOT/scripts/chip_playbook.py" >> /tmp/playbook.log 2>&1
