@@ -10,7 +10,9 @@ _exact_choice_err the winner already gets today). Stage-1 levers:
   - G restricted to the low-frequency r x r DCT block per channel
     (PSNR-HVS weights concentrate energy there; the motion ranker's
     rank_dims uses the same physics) -> Gi bytes x r^2/64, int8 on top
-    (per-coefficient scales, the measured epu_int8_tables scheme).
+    (per-coefficient scales — the one-stage int8-G scheme that shipped
+    as epu_int8_tables until r4's battery measured it fps-neutral and
+    superseded by the two-stage path; deleted from the encoder).
   - Q optionally int16 with per-COLUMN scales folded into the palette
     outer products Rj (exact fold, like g_inv into ftw) -> Qi bytes /2.
 

@@ -174,8 +174,6 @@ def main():
     measure("motion_halo_off", "motion halo off (old full stack)",
             {"TILER_TPU_MOTION_BM": "0"})
     measure("motion_bm16", "motion halo BM=16", {"TILER_TPU_MOTION_BM": "16"})
-    measure("epu_g8", "int8 EPU G table",
-            {"PB_SETTINGS": "epu_int8_tables=1"})
     # two-stage EPU (int8 low-freq G + int16 Q rank, exact top-M): Gi /8,
     # Qi /2 — 99.3% winner agreement at CIF/256 (scripts/ab_epu_lowrank)
     measure("epu_2s", "two-stage EPU", {"PB_SETTINGS": "epu_two_stage=1"})
@@ -206,7 +204,6 @@ def main():
         "motion_d108": {"PB_SETTINGS": "motion_rank_dims=108"},
         "epu_k32": {"PB_SETTINGS": "epu_knn_k=32"},
         "kmeans_i12": {"PB_SETTINGS": "kmeans_iters=12"},
-        "epu_g8": {"PB_SETTINGS": "epu_int8_tables=1"},
         "epu_2s": {"PB_SETTINGS": "epu_two_stage=1"},
         "epu_2s_k32": {"PB_SETTINGS": "epu_two_stage=1,epu_knn_k=32"},
         "motion_halo_off": {"TILER_TPU_MOTION_BM": "0"},

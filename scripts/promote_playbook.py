@@ -34,7 +34,6 @@ SETTINGS_OF = {
     "motion_d108": "motion_rank_dims=108",
     "epu_k32": "epu_knn_k=32",
     "kmeans_i12": "kmeans_iters=12",
-    "epu_g8": "epu_int8_tables=True",
     "epu_2s": "epu_two_stage=True",
     "epu_2s_k32": "epu_two_stage=True, epu_knn_k=32",
     "motion_halo_off": "kernels default: revert halo blocking (MOTION_BM=0)",

@@ -24,7 +24,7 @@ def test_tpu_knobs_roundtrip_ini():
     a stream reproduces from its embedded settings (VERDICT r03 #6: env
     flags like EPU_G8 made streams non-reproducible)."""
     s = EncoderSettings(knn_backend="ivf", ivf_probes=16,
-                        epu_int8_tables=True, epu_pal_k=8,
+                        epu_two_stage=True, epu_pal_k=8,
                         kmeans_iters=12, phase_b_motion="research",
                         lzma_mode="fast", int16_features=True,
                         count_predicted_tiles=True)
@@ -33,7 +33,7 @@ def test_tpu_knobs_roundtrip_ini():
     s2 = EncoderSettings.from_ini(text)
     assert s2.knn_backend == "ivf"
     assert s2.ivf_probes == 16
-    assert s2.epu_int8_tables is True
+    assert s2.epu_two_stage is True
     assert s2.epu_pal_k == 8
     assert s2.kmeans_iters == 12
     assert s2.phase_b_motion == "research"
@@ -52,14 +52,14 @@ def test_stream_embedded_settings_reproduce_config(tmp_path):
     clip = rng.randint(0, 255, (3, 24, 32, 3), dtype=np.uint8)
     s = EncoderSettings(palette_count=4, palette_size=8,
                         motion_predict_radius=2, epu_knn_k=4,
-                        kmeans_iters=3, epu_int8_tables=True,
+                        kmeans_iters=3, epu_two_stage=True,
                         global_tiling_quality_based_tile_count=2.0)
     p = str(tmp_path / "o.gtm")
     Encoder(s, log=lambda *a: None).run_all(clip, fps=25.0, out_path=p)
     text = GTMReader.read(p).settings_text
     assert text, "stream must embed its settings"
     s2 = EncoderSettings.from_ini(text)
-    assert s2.epu_int8_tables is True
+    assert s2.epu_two_stage is True
     assert s2.kmeans_iters == 3
     assert s2.epu_knn_k == 4
     assert s2.palette_count == 4

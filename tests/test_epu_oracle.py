@@ -116,54 +116,6 @@ def test_epu_decisive_case_exact():
     assert int(t_sel[0]) == t0 and int(p_sel[0]) == p0
 
 
-def test_epu_int8_g_table_near_bf16():
-    """settings.epu_int8_tables path: the int8 G table (per-DCT-coefficient
-    scales, Q built coherently from the dequantized values) must pick
-    winners whose exact errors sit within ~1% of the bf16 path's on
-    average. Measured at CIF/256: 96.3% winner agreement, +0.63% mean
-    exact-err (docs/PERF.md)."""
-    rng = np.random.RandomState(7)
-    B, kk, kp, T, P, S = 64, 8, 8, 64, 16, 16
-    pp = rng.randint(0, S, (T, 8, 8)).astype(np.uint8)
-    palettes = rng.randint(0, 256, (P, S, 3)).astype(np.uint8)
-    cell_tiles = []
-    for b in range(B):
-        rgb = palettes[rng.randint(P)][pp[rng.randint(T)]].astype(np.int32)
-        cell_tiles.append(np.clip(rgb + rng.randint(-6, 7, rgb.shape), 0, 255))
-    cell_tiles = np.stack(cell_tiles).astype(np.float32)
-    cand_idx = np.sort(rng.randint(0, T, (B, kk)).astype(np.int32), axis=1)
-    cand_pal = np.sort(rng.randint(0, P, (B, kp)).astype(np.int32), axis=1)
-
-    from tiler_tpu.pipeline.motion import tile_features_raster
-
-    feats = jnp.asarray(
-        np.asarray(tile_features_raster(jnp.asarray(cell_tiles))))
-    Gf = R._indicator_dcts(pp, S)
-    pal_yuv = rgb_to_yuv(jnp.asarray(palettes, jnp.float32))
-
-    Gb = Gf.astype(jnp.bfloat16)
-    Qb = R._tile_quad(Gb, S)
-    t0, p0, _ = R._epu_rank_all(feats, jnp.asarray(cand_idx),
-                                jnp.asarray(cand_pal), Gb, pal_yuv, S,
-                                cell_chunk=16, Q=Qb)
-
-    G8, g_inv, Q8 = R._quantize_g8(Gf, S)  # the production quantizer
-    assert G8.dtype == jnp.int8
-    t1, p1, _ = R._epu_rank_all(feats, jnp.asarray(cand_idx),
-                                jnp.asarray(cand_pal), G8, pal_yuv, S,
-                                cell_chunk=16, Q=Q8, g_inv=g_inv)
-
-    e0 = np.asarray(R._exact_choice_err(feats, t0, p0, jnp.asarray(pp),
-                                        jnp.asarray(palettes)))
-    e1 = np.asarray(R._exact_choice_err(feats, t1, p1, jnp.asarray(pp),
-                                        jnp.asarray(palettes)))
-    agree = np.mean((np.asarray(t0) == np.asarray(t1))
-                    & (np.asarray(p0) == np.asarray(p1)))
-    rel = (e1.sum() - e0.sum()) / max(e0.sum(), 1.0)
-    assert agree >= 0.85, f"int8 winner agreement {agree:.2%}"
-    assert rel <= 0.02, f"int8 exact-err delta {rel:+.3%}"
-
-
 def test_epu_two_stage_near_full_rank():
     """settings.epu_two_stage: stage-1 int8 low-freq G + int16 Q rank,
     stage-2 exact top-M re-rank. Measured at CIF/256: 99.3% winner

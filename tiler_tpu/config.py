@@ -92,9 +92,6 @@ class EncoderSettings:
     ivf_probes: int = 8  # IVF blocks probed per query (recall knob)
     ivf_min_corpus: int = 4096  # brute force below this corpus size
     # (block probing only beats one matmul on large corpora)
-    epu_int8_tables: bool = False  # int8 EPU G table with coherent Q
-    # (halves the dominant Gi gather bytes; 96.3% winner agreement at
-    # CIF/256 with smoke PSNR at parity — docs/PERF.md)
     epu_two_stage: bool = False  # two-stage EPU re-rank: stage 1 ranks
     # all kk x kp pairs with an int8 LOW-FREQUENCY G (epu_stage1_dims)
     # + int16 Q (per-column scales folded exactly into the palette
@@ -169,7 +166,6 @@ class EncoderSettings:
         ("TPU", "KnnBackend", "knn_backend", str),
         ("TPU", "IvfProbes", "ivf_probes", int),
         ("TPU", "IvfMinCorpus", "ivf_min_corpus", int),
-        ("TPU", "EpuInt8Tables", "epu_int8_tables", bool),
         ("TPU", "EpuTwoStage", "epu_two_stage", bool),
         ("TPU", "EpuStage1Dims", "epu_stage1_dims", int),
         ("TPU", "EpuStage1M", "epu_stage1_m", int),

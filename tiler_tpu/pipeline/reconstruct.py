@@ -166,14 +166,11 @@ def _topk_oneshot(feats, ds, k: int, Tpad: int):
 
 
 @functools.partial(jax.jit, static_argnames=("S",))
-def _tile_quad(G, S: int, v_weight=None):
+def _tile_quad(G, S: int):
     """Per-tile quadratic form, packed upper triangle:
     Q[t, (c, s<=s')] = sum_v wf[v,c]^2 G[t,v,s] G[t,v,s'] (off-diagonal
     entries pre-doubled, so quad = Q . R with R[j,(c,s<=s')] =
-    Py[j,s,c] Py[j,s',c]). `v_weight` [64] scales wf^2 per DCT
-    coefficient — the int8 G path folds its dequant g_inv^2 here so Q is
-    built from the int8 values directly (exact in f32, no dequantized
-    [T,64,S] f32 copy of G is ever materialized).
+    Py[j,s,c] Py[j,s',c]).
 
     With it, |rendered feature|^2 of the pair (tile t, palette j) is a dot
     product — the whole [T, P] quadratic term of the cartesian error
@@ -183,8 +180,6 @@ def _tile_quad(G, S: int, v_weight=None):
     and contraction width S*S -> S(S+1)/2. [T, 3*S*(S+1)/2] float32."""
     w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
     wf2 = (w * w).transpose(1, 2, 0).reshape(64, 3)  # [v, c]
-    if v_weight is not None:
-        wf2 = wf2 * v_weight[:, None]
     tri_i, tri_j = np.triu_indices(S)
     dbl = jnp.asarray((tri_i != tri_j) + 1.0, jnp.float32)  # [ntri]
     Gf = G.astype(jnp.float32)
@@ -209,8 +204,9 @@ def _build_two_stage_tables(Gf, S: int, dims: int):
     """Stage-1 rank tables for the two-stage EPU (settings.epu_two_stage):
 
     - G8lf [T, L, S] int8: the low-frequency coefficient subset of G with
-      per-coefficient scales (g_inv [L] dequants exactly via the ftw fold,
-      as in _quantize_g8).
+      per-coefficient scales (g_inv [L] dequants exactly via the ftw
+      fold: v is contracted in C = sum_v Gi8[v]·ftw[v], so the scale
+      moves onto ftw for free and int8 -> bf16 is exact at +-127).
     - Q16 [T, ntri3] int16 + q_inv [ntri3]: the SUBSET quadratic table
       with per-COLUMN scales — err = Q16·(q_inv*Rj) is an exact fold into
       the tiny per-palette outer products, so int16 costs only its own
@@ -316,25 +312,9 @@ def _epu_rank_two_stage(feats, cand_idx, cand_pal, G8lf, g_inv, Q16, q_inv,
     return t.reshape(Bp)[:B], p.reshape(Bp)[:B], e.reshape(Bp)[:B]
 
 
-def _quantize_g8(Gf, S: int):
-    """int8 EPU G table (settings.epu_int8_tables): per-DCT-coefficient scales
-    (G ranges differ ~20x across coefficients — a single global scale
-    measured only 90.5% winner agreement vs 96.3%). Returns (G8, g_inv,
-    Q) with Q built COHERENTLY from the same int8 values the C term
-    consumes, folding g_inv^2 into the quad weights — an exact-Q /
-    quantized-C mix decoheres the norm expansion (measured 64% winner
-    agreement at CIF/256)."""
-    vmax = jnp.maximum(jnp.max(jnp.abs(Gf), axis=(0, 2)), 1e-6)
-    g_scale = 127.0 / vmax  # [64]
-    G8 = jnp.round(Gf * g_scale[None, :, None]).astype(jnp.int8)
-    g_inv = (1.0 / g_scale).astype(jnp.float32)
-    Q = _tile_quad(G8, S, v_weight=g_inv * g_inv)
-    return G8, g_inv, Q
-
-
 @functools.partial(jax.jit, static_argnames=("S", "cell_chunk"))
 def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int,
-                  Q=None, g_inv=None):
+                  Q=None):
     """Cartesian re-rank over all cells via a scan over cell chunks.
 
     feats [B, 192]; cand_idx/cand_pal [B, kk] sorted ascending; G [T,64,S];
@@ -354,7 +334,6 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
     w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
     wf = w.transpose(1, 2, 0).reshape(64, 3)  # [vu, c]
     if Q is None:
-        assert g_inv is None, "int8 G requires a coherently-built Q"
         Q = _tile_quad(G, S)
     tri_i, tri_j = np.triu_indices(S)
     # per-palette outer products at triangle indices: [P, 3*ntri] (1.7MB
@@ -373,15 +352,8 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
         ci = jax.lax.dynamic_slice(cip, (i * cell_chunk, 0), (cell_chunk, kk))
         cp = jax.lax.dynamic_slice(cpp, (i * cell_chunk, 0), (cell_chunk, kp))
         Gi = G[ci]  # [b, kk, 64, S] (bf16: ranking only — winners get an
-        # exact fp32 re-evaluation in _knn_phase; int8 when g_inv is set:
-        # the gather is the EPU's largest cost, int8 halves its bytes)
+        # exact fp32 re-evaluation in _knn_phase)
         ftw = f.reshape(-1, 3, 64).transpose(0, 2, 1) * wf[None]  # [b, 64, 3]
-        if g_inv is not None:
-            # per-DCT-coefficient dequant: C = sum_v (Gi8[v]/s[v])·ftw[v]
-            # = sum_v Gi8[v]·(ftw[v]/s[v]) — v is contracted, so the
-            # scale folds into ftw for free; int8 -> bf16 is exact (+-127)
-            ftw = ftw * g_inv[None, :, None]
-            Gi = Gi.astype(jnp.bfloat16)
         C = jnp.einsum("bkvs,bvc->bksc", Gi, ftw.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)  # [b, kk, S, 3]
         Py = pal_yuv[cp]  # [b, kp, S, 3] f32
@@ -483,7 +455,7 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
             cand_pal = pal_initial[idx[:, :pal_k]]
             t, p, _ = _epu_rank_all(
                 feats, cand_idx, cand_pal, G, pal_yuv, S,
-                cell_chunk=cell_chunk, Q=Q, g_inv=g_inv,
+                cell_chunk=cell_chunk, Q=Q,
             )
             exact = _exact_choice_err(feats, t, p, pp, palettes, int16=int16)
         # pack (tile, pal) into one word + err bits: [2, N] i32 halves the
@@ -597,12 +569,12 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
             G, g_inv, Q, q_inv = _build_two_stage_tables(
                 Gf, settings.palette_size, settings.epu_stage1_dims)
             stage1_dims = settings.epu_stage1_dims
-        elif settings.epu_int8_tables:
-            # int8 G table: the per-cell Gi gather is the EPU's largest
-            # cost (12.8 ms/frame at 720p defaults, PERF.md) and int8
-            # halves its bytes (see _quantize_g8 for the coherence rules)
-            G, g_inv, Q = _quantize_g8(Gf, settings.palette_size)
         else:
+            # (a one-stage int8 G table variant — per-DCT-coefficient
+            # scales, coherent Q — lived here through r4's A/B battery;
+            # it measured quality-parity but no fps win and is strictly
+            # superseded by epu_two_stage, so it was deleted. PERF.md
+            # keeps the measurements.)
             G = Gf.astype(jnp.bfloat16)
             Q = _tile_quad(G, settings.palette_size)  # [T, 3*S*S] f32, once
     else:
@@ -770,7 +742,6 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
             t, p, _ = _epu_rank_all(
                 feats, cand_idx, cand_pal, G, pal_yuv,
                 settings.palette_size, cell_chunk=cell_chunk, Q=Q,
-                g_inv=g_inv,
             )
             e = _exact_choice_err(feats, t, p, pp_dev, palettes_dev,
                                   int16=settings.int16_features)
