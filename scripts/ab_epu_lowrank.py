@@ -197,7 +197,12 @@ def main():
     tiles = jnp.asarray(st.tiles_canon, jnp.float32)
     N = tiles.shape[1]
     variants = [(4, 8, False), (4, 16, False), (6, 8, False),
-                (4, 8, True), (4, 16, True), (2, 16, False)]
+                (4, 8, True), (4, 16, True), (2, 16, False),
+                # deeper survivor pools: r4's chip battery failed the
+                # M=16 funnel at bench settings (k=64 -> 1024 pairs;
+                # -0.47 dB via used-tile shrink) — measure whether more
+                # exact-re-ranked survivors recover full-rank agreement
+                (4, 32, True), (4, 64, True), (6, 32, True)]
     agree = {v: 0 for v in variants}
     dsum = {v: 0.0 for v in variants}
     dmax = {v: 0.0 for v in variants}

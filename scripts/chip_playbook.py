@@ -179,6 +179,13 @@ def main():
     measure("epu_2s", "two-stage EPU", {"PB_SETTINGS": "epu_two_stage=1"})
     measure("epu_2s_k32", "two-stage EPU + k=32",
             {"PB_SETTINGS": "epu_two_stage=1,epu_knn_k=32"})
+    # M=16 was the r4 battery's quality failure (-0.47 dB via the
+    # tie-collapse toward popular tile ids); M=32 measured at-or-better
+    # than the full bf16 rank per cell (agreement 99.83%, max exact-err
+    # delta +0.000% at CIF/1024/k=64 — scripts/ab_epu_lowrank.py), so
+    # only the fps question remains
+    measure("epu_2s_m32", "two-stage EPU M=32",
+            {"PB_SETTINGS": "epu_two_stage=1,epu_stage1_m=32"})
     # VERDICT r2 #1 asks for PSNR "within 0.3 dB of r02 at equal corpus
     # size": r02's 115,537-tile corpus was the tie-block overshoot bug
     # (2x the derived budget), so pin its corpus explicitly and show the
@@ -206,6 +213,7 @@ def main():
         "kmeans_i12": {"PB_SETTINGS": "kmeans_iters=12"},
         "epu_2s": {"PB_SETTINGS": "epu_two_stage=1"},
         "epu_2s_k32": {"PB_SETTINGS": "epu_two_stage=1,epu_knn_k=32"},
+        "epu_2s_m32": {"PB_SETTINGS": "epu_two_stage=1,epu_stage1_m=32"},
         "motion_halo_off": {"TILER_TPU_MOTION_BM": "0"},
         "motion_bm16": {"TILER_TPU_MOTION_BM": "16"},
         "tk_blk_2048": {"TILER_TPU_TK_BLK": "2048"},

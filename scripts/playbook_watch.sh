@@ -16,6 +16,11 @@ while true; do
     continue
   fi
   if timeout 90 python3 -c "import jax, jax.numpy as jnp; print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()))" >/dev/null 2>&1; then
+    if [ -e /tmp/cpu_busy ]; then
+      # re-check after the (up to 90 s) probe: a CPU job that started
+      # mid-probe would otherwise contaminate the whole battery entry
+      continue
+    fi
     echo "$(date -u +%H:%M:%S) tunnel up; (re)entering playbook" >&2
     python3 "$ROOT/scripts/chip_playbook.py" >> /tmp/playbook.log 2>&1
     rc=$?

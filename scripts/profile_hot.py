@@ -26,13 +26,21 @@ R = 32
 REPS = 5
 
 
+def _pull(out):
+    # axon's block_until_ready does NOT flush its lazy dispatch queue
+    # (measured: a 44 MB h2d "completes" in 0 ms, then costs 0.8 s at
+    # first use) — only an actual d2h value read forces execution, so
+    # every timing must end in one
+    return float(jax.tree_util.tree_reduce(
+        lambda a, b: a + b.astype(jnp.float32).sum().astype(jnp.float32),
+        out, jnp.float32(0)))
+
+
 def timeit(name, fn, *args):
-    fn(*args)  # compile+warm
-    jax.block_until_ready(fn(*args))
+    _pull(fn(*args))  # compile+warm+flush
     t0 = time.perf_counter()
     for _ in range(REPS):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _pull(fn(*args))
     dt = (time.perf_counter() - t0) / REPS
     print(f"{name:40s} {dt*1e3:9.2f} ms")
     return dt

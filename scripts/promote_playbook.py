@@ -36,6 +36,7 @@ SETTINGS_OF = {
     "kmeans_i12": "kmeans_iters=12",
     "epu_2s": "epu_two_stage=True",
     "epu_2s_k32": "epu_two_stage=True, epu_knn_k=32",
+    "epu_2s_m32": "epu_two_stage=True, epu_stage1_m=32",
     "motion_halo_off": "kernels default: revert halo blocking (MOTION_BM=0)",
     "motion_bm16": "pipeline/motion.py BM default 8 -> 16",
     "tk_blk_2048": "kernels/tk_dither.py BLK default 1024 -> 2048",

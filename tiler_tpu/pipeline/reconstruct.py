@@ -38,6 +38,8 @@ Deviations (both flag-controlled, A/B numbers in docs/PERF.md):
 from __future__ import annotations
 
 import functools
+import os
+import time
 from typing import Tuple
 
 import jax
@@ -70,19 +72,23 @@ def _render_corpus_dev(palettes_rgb, pal_initial, pal_pixels):
 
 @functools.partial(jax.jit, static_argnames=("S",))
 def _indicator_dcts_chunk(pp, S: int):
-    # one [64,64] basis matmul against the one-hot pixel map — the DCT
-    # separability buys nothing here (the fp32-HIGHEST two-sided einsum
-    # this replaces ran at ~3% of the MXU); G only ranks (bf16 consumer),
+    # ONE [B*S, 64] x [64, 64] basis matmul against the one-hot pixel
+    # map, rows = (tile, palette-slot) pairs: the batched-tiny-matmul
+    # einsum "ve,bes->bvs" shaped this same contraction as B separate
+    # [64,64]x[64,S] products and measured 2.5x slower at bench size
+    # (57 -> 23 ms at T=33k, pull floor included) — the big matmul is
+    # BIT-EXACT equal (same bf16 products, same 64-long reduction). The
+    # DCT separability buys nothing here (a fp32-HIGHEST two-sided
+    # einsum ran at ~3% of the MXU); G only ranks (bf16 consumer),
     # winners are re-ranked exactly by _exact_choice_err
     D = np.asarray(DCT_MAT, np.float64)
     basis = np.einsum("vy,ux->vuyx", D, D).reshape(64, 64)  # [(v,u), (y,x)]
-    oh = jax.nn.one_hot(pp.reshape(-1, 64), S, dtype=jnp.bfloat16)  # [B,64,S]
-    return jnp.einsum(
-        "ve,bes->bvs",
-        jnp.asarray(basis, jnp.bfloat16),
-        oh,
-        preferred_element_type=jnp.float32,
-    )
+    B = pp.shape[0]
+    oh = jax.nn.one_hot(pp.reshape(B, 64), S, dtype=jnp.bfloat16)  # [B,64,S]
+    m = oh.transpose(0, 2, 1).reshape(B * S, 64)
+    g = jnp.matmul(m, jnp.asarray(basis.T, jnp.bfloat16),
+                   preferred_element_type=jnp.float32)  # [B*S, 64]
+    return g.reshape(B, S, 64).transpose(0, 2, 1)
 
 
 def _indicator_dcts(pal_pixels, S: int, chunk: int = 16384):
@@ -663,6 +669,9 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
             return selp, packed
 
         jobs = []
+        if os.environ.get("TILER_TPU_SYNC_SUBSTEPS"):
+            print(f"phase A cells: full={len(sel)} cheap={len(sel_cheap)} "
+                  f"of {F * N} (T={len(dsj)}, kk={kk}, pal_k={pal_k})")
         if len(sel):
             jobs.append((sel, run_cells(sel, kk, pal_k, epu, pallas_topk)))
         if len(sel_cheap):
@@ -959,7 +968,23 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
     tm = state.tilemap
     R = settings.motion_predict_radius
 
+    # TILER_TPU_SYNC_SUBSTEPS=1: print a drained per-block split of this
+    # step (profiling only — the drains serialize work the production
+    # dispatch overlaps, like TILER_TPU_SYNC_STEPS at the step level)
+    _subs: list = []
+    _t_sub = [time.monotonic()]
+
+    def _sub(label, arrs=None):
+        if not os.environ.get("TILER_TPU_SYNC_SUBSTEPS"):
+            return
+        if arrs is not None:
+            jax.block_until_ready(arrs)
+        now = time.monotonic()
+        _subs.append((label, now - _t_sub[0]))
+        _t_sub[0] = now
+
     kt_dev, kp_dev, ke_dev, fetch_knn = _knn_phase(state, settings, mesh=mesh)
+    _sub("phase A (knn+epu)", (kt_dev, kp_dev, ke_dev))
     kt_dev = kt_dev.reshape(F, N)
     kp_dev = kp_dev.reshape(F, N)
     ke_dev = ke_dev.reshape(F, N)
@@ -1035,16 +1060,19 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
             except Exception:
                 pass
             results[(Lp, b0)] = (batch, packed_dev)
+    _sub("phase B scans", [p for _, p in results.values()])
 
     # materialize the phase-A host copy now: its transfer overlapped the
     # phase-B scans just dispatched
     knn_tile, knn_pal = fetch_knn()
+    _sub("phase A d2h")
     by_kf = {}
     for batch, packed_dev in results.values():
         packed = np.asarray(packed_dev)
         for g, kf in enumerate(batch):
             L = kf.end_frame + 1 - kf.start_frame
             by_kf[kf.index] = packed[g, :, :L]
+    _sub("phase B d2h + unpack")
     pulled = [by_kf[kf.index] for kf in state.keyframes]
     w0 = np.concatenate([p[0] for p in pulled], axis=0)
     oy = (w0 >> 16).astype(np.int32) - 16384
@@ -1071,4 +1099,8 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
         [kf_psnr_accum[k.index] / (N * k.frame_count) for k in state.keyframes]
     )
     state.total_psnr = float(kf_psnr_accum.sum() / (N * F))
+    _sub("host tilemap/psnr")
+    if _subs:
+        print("reconstruct sub-split: "
+              + " | ".join(f"{k} {v:.3f}s" for k, v in _subs))
     return state
