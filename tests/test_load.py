@@ -73,3 +73,55 @@ def test_padding_to_tile_grid():
     st = load(EncodeState(), frames, fps=24.0, settings=EncoderSettings())
     assert st.width == 16 and st.height == 16
     assert np.asarray(st.frames_rgb)[0, 12, 0, 0] == 0  # zero padding
+
+
+def test_pipelined_ingest_chunk_jobs_interleave_and_finalize():
+    """load(defer=True) must defer the per-piece tile passes into
+    run_ingest_chunk jobs (predict_motion interleaves them with its
+    motion dispatches), and ensure_ingest must run any remaining jobs
+    itself — with results identical to the eager path."""
+    rng = np.random.RandomState(5)
+    F, H, W = 8, 32, 40
+    frames = rng.randint(0, 256, (F, H, W, 3)).astype(np.uint8)
+    s = EncoderSettings()
+
+    # eager reference result
+    st0 = load(EncodeState(), frames, fps=10.0, settings=s)
+
+    # deferred: multiple pieces and NO tile parts dispatched yet
+    st = load(EncodeState(), frames, fps=10.0, settings=s, defer=True)
+    if st._ingest_pieces is None:
+        return  # piece heuristics made one piece on this geometry
+    assert st._ingest_chunk_jobs is not None
+    assert st._ingest_pieces[1] == []  # nothing dispatched by load
+
+    # partial interleave (what predict_motion does per piece), then
+    # finalize runs the rest; calls are idempotent
+    st.run_ingest_chunk(0)
+    st.run_ingest_chunk(0)
+    n_after_first = len(st._ingest_pieces[1])
+    assert n_after_first == 1
+    st.ensure_ingest()
+    assert st._ingest_chunk_jobs is None
+    assert np.array_equal(np.asarray(st.tiles_canon),
+                          np.asarray(st0.tiles_canon))
+    assert np.array_equal(st.tilemap.hmirror, st0.tilemap.hmirror)
+    assert np.allclose(st.correlations, st0.correlations)
+    assert [k.start_frame for k in st.keyframes] == [
+        k.start_frame for k in st0.keyframes]
+
+
+def test_pipelined_ingest_eager_env_matches(monkeypatch):
+    """TILER_TPU_INGEST_EAGER=1 (the r3 dispatch-order profiling hook)
+    must produce identical state."""
+    rng = np.random.RandomState(6)
+    frames = rng.randint(0, 256, (8, 32, 40, 3)).astype(np.uint8)
+    s = EncoderSettings()
+    st0 = load(EncodeState(), frames, fps=10.0, settings=s, defer=True)
+    st0.ensure_ingest()
+    monkeypatch.setenv("TILER_TPU_INGEST_EAGER", "1")
+    st1 = load(EncodeState(), frames, fps=10.0, settings=s, defer=True)
+    st1.ensure_ingest()
+    assert np.array_equal(np.asarray(st0.tiles_canon),
+                          np.asarray(st1.tiles_canon))
+    assert np.allclose(st0.correlations, st1.correlations)
