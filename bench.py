@@ -125,17 +125,23 @@ def main():
     enc.run_all(clip, fps=25.0, out_path=out)
     log(f"warmup encode: {time.time()-t0:.1f}s")
 
-    # timed steady-state (best of 3: the tunnel adds ~±20% run variance)
-    best = None
-    for _ in range(3):
+    # timed steady-state, adaptive best-of-N: the tunnel's run-to-run
+    # variance is ±20% in steady windows but 2x+ in degraded ones
+    # (r4 battery: identical code measured 2.6-5.4 fps across windows).
+    # 3 runs minimum; keep going (up to 6) while the spread stays wide —
+    # extra runs cost ~1 min each and materially de-noise the captured
+    # number toward the true steady-state.
+    walls = []
+    for i in range(6):
         t0 = time.time()
         enc = Encoder(settings, log=lambda *a: None)
         enc.run_all(clip, fps=25.0, out_path=out)
-        wall = time.time() - t0
-        if best is None or wall < best:
-            best = wall
-    wall = best
+        walls.append(time.time() - t0)
+        if i >= 2 and max(walls) / min(walls) < 1.25:
+            break
+    wall = min(walls)
     fps = F / wall
+    log(f"steady walls: {['%.2f' % w for w in walls]}")
 
     # step-synced steady run for the per-step breakdown
     os.environ["TILER_TPU_SYNC_STEPS"] = "1"
@@ -144,6 +150,10 @@ def main():
     del os.environ["TILER_TPU_SYNC_STEPS"]
     steps = {k: round(v, 3) for k, v in enc2.timings.items()}
     log("steady steps (synced): " + json.dumps(steps))
+    # window-quality provenance: the load step is ~pure h2d of the clip
+    # bytes, so its synced time doubles as a tunnel bandwidth gauge
+    # (driver windows measured 13-130 MB/s; fps tracks it)
+    h2d_mbps = round(F * H * W * 3 / 1e6 / max(steps.get("load", 1e9), 1e-3), 1)
 
     # sanity: stream must decode to the right frame count
     frames = GTMDecoder(out).decode_frames()
@@ -161,6 +171,7 @@ def main():
         "settings": {"palette_count": P, "epu_knn_k": EK,
                      "frames": F, "w": W, "h": H},
         "steady_steps_s": steps,
+        "tunnel_h2d_mbps": h2d_mbps,
         "psnr_hvs_db": round(enc.state.total_psnr, 3),
         "bytes": enc.stats.total_bytes,
     }
