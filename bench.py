@@ -14,11 +14,13 @@ PaletteCount 1024, PaletteSize 16, MotionPredictRadius 32,
 QualityBasedTileCount 7.0, Thomas Knoll dithering, EPU on (cEpuKnnK=64).
 
 The first pass warms the persistent compilation cache (the axon remote
-compile is slow and its latency is not an encoder property); the reported
-number is the steady-state wall-clock fps of the best of two full
-encodes, including host bitstream assembly and LZMA. A third, step-synced
-run records the per-step steady breakdown (async dispatch otherwise
-credits device-resident outputs to the consuming step).
+compile is slow and its latency is not an encoder property); the
+reported number is the steady-state wall-clock fps, best of an ADAPTIVE
+number of full encodes (3-6; more while the run spread exceeds 1.25x —
+the tunnel's window variance reached 2x in the r4 battery), including
+host bitstream assembly and LZMA. A final step-synced run records the
+per-step steady breakdown (async dispatch otherwise credits
+device-resident outputs to the consuming step).
 
 Env knobs: TILER_BENCH_W/H (default 1280x720), TILER_BENCH_FRAMES (16),
 TILER_BENCH_PALETTES (1024), TILER_BENCH_EPU_K (64).
@@ -184,14 +186,18 @@ def main():
     if real is not None:
         enc3 = Encoder(settings, log=lambda *a: None)
         enc3.run_all(real, fps=25.0, out_path=out)  # warmup (data-dep shapes)
-        best = None
-        for _ in range(2):
+        # same adaptive de-noising as the synthetic loop (this is the
+        # number verdicts gate on; realistic runs ~1.4x longer so the
+        # minimum is 2 runs instead of 3)
+        rwalls = []
+        for i in range(5):
             t0 = time.time()
             enc3 = Encoder(settings, log=lambda *a: None)
             enc3.run_all(real, fps=25.0, out_path=out)
-            wall = time.time() - t0
-            if best is None or wall < best:
-                best = wall
+            rwalls.append(time.time() - t0)
+            if i >= 1 and max(rwalls) / min(rwalls) < 1.25:
+                break
+        best = min(rwalls)
         log(
             f"realistic (city upscaled): {best:.1f}s = {F/best:.3f} fps | "
             f"PSNR-HVS {enc3.state.total_psnr:.2f} dB | "

@@ -239,8 +239,7 @@ def main():
                 return "motion_bm"
             if k.startswith("motion_d"):
                 return "motion_dims"
-            if k.startswith("epu_g8") or k.startswith("epu_2s") \
-                    or k.startswith("epu_k32"):
+            if k.startswith("epu_2s") or k.startswith("epu_k32"):
                 return "epu_tables"  # all reshape the same EPU re-rank
             return k
 

@@ -32,6 +32,15 @@ def bench(fn, n=3):
     return best
 
 
+def pull(arrs):
+    """axon's block_until_ready does NOT flush its lazy queue for h2d
+    (a 44 MB asarray 'completes' in 0 ms; the cost appears at first
+    use) — every timing must end in an actual d2h value read."""
+    import jax.numpy as _jnp
+
+    return sum(float(a.astype(_jnp.float32).sum()) for a in arrs)
+
+
 def main():
     dev = jax.devices()[0]
     print("device:", dev)
@@ -51,10 +60,10 @@ def main():
 
     def h2d():
         ps = [jnp.asarray(h) for h in host]
-        jax.block_until_ready(ps)
+        pull(ps)
 
     def compute():
-        burn(x0).block_until_ready()
+        float(burn(x0))
 
     a = bench(h2d)
     b = bench(compute)
@@ -62,12 +71,12 @@ def main():
     def overlap_cf():
         r = burn(x0)
         ps = [jnp.asarray(h) for h in host]
-        jax.block_until_ready([r] + ps)
+        pull(ps + [r])
 
     def overlap_hf():
         ps = [jnp.asarray(h) for h in host]
         r = burn(x0)
-        jax.block_until_ready(ps + [r])
+        pull(ps + [r])
 
     c = bench(overlap_cf)
     d = bench(overlap_hf)

@@ -180,9 +180,10 @@ def main():
     timeit("topk kk=64 (1 frame cells)", lambda f, d: RC._topk_candidates(f, d, kk), feats, ds)
 
     pp = rng.randint(0, S, (T, 8, 8)).astype(np.uint8)
+    _pull(RC._indicator_dcts(pp, S))  # compile+flush
     t0 = time.perf_counter()
     G = RC._indicator_dcts(pp, S).astype(jnp.bfloat16)
-    jax.block_until_ready(G)
+    _pull(G)
     print(f"{'indicator_dcts (once)':40s} {(time.perf_counter()-t0)*1e3:9.2f} ms")
 
     pal_yuv = jnp.asarray(rng.rand(Pn, S, 3).astype(np.float32) * 255)

@@ -189,6 +189,22 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
         flag_parts.append(fl[skip:])
         corr_parts.append(c[skip:])
         ctx["tail"] = p[-1:]
+        if pipelined and pi == len(starts) - 1:
+            # last piece's pass just dispatched: concat the (tiny)
+            # flag/corr parts now and start their host copies, so they
+            # stream behind the queued motion programs and _finalize's
+            # pull doesn't pay a fresh tunnel round-trip after the whole
+            # queue drains (the non-pipelined path prefetches below)
+            fd = (flag_parts[0] if len(flag_parts) == 1
+                  else jnp.concatenate(flag_parts))
+            cd = (corr_parts[0] if len(corr_parts) == 1
+                  else jnp.concatenate(corr_parts))
+            try:
+                fd.copy_to_host_async()
+                cd.copy_to_host_async()
+            except Exception:
+                pass
+            ctx["flags_corr"] = (fd, cd)
 
     if pipelined:
         # dispatch NO tile pass here: the device executes programs in
@@ -253,10 +269,7 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
             state.tiles_canon = tp[0] if len(tp) == 1 else jnp.concatenate(tp)
             del tp
         if pipelined:
-            fd = (flag_parts[0] if len(flag_parts) == 1
-                  else jnp.concatenate(flag_parts))
-            cd = (corr_parts[0] if len(corr_parts) == 1
-                  else jnp.concatenate(corr_parts))
+            fd, cd = ctx["flags_corr"]  # prefetched by the last chunk job
         else:
             fd, cd = flags_dev, corr_dev
         flags = np.asarray(fd)  # one small pull (N/4 bytes/frame)

@@ -979,6 +979,12 @@ def reconstruct(state: EncodeState, settings: EncoderSettings, mesh=None) -> Enc
             return
         if arrs is not None:
             jax.block_until_ready(arrs)
+            # axon's block_until_ready does not flush programs whose
+            # h2d inputs are still lazily queued — force a scalar read
+            # per leaf so the stamp really drains (profiling path only;
+            # each read costs one tunnel round-trip)
+            for leaf in jax.tree_util.tree_leaves(arrs):
+                float(jnp.ravel(leaf)[0].astype(jnp.float32))
         now = time.monotonic()
         _subs.append((label, now - _t_sub[0]))
         _t_sub[0] = now
