@@ -76,17 +76,14 @@ print("PBJSON " + json.dumps({
 """
 
 
-def probe(timeout_s=90):
-    """Cheap disposable-child tunnel probe (the main process must never
-    touch the backend itself — a wedged tunnel hangs it forever)."""
-    code = ("import jax, jax.numpy as jnp; "
-            "x = jnp.ones((128, 128)); print(float((x @ x).sum()))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+def probe():
+    """Cheap disposable-child tunnel probe — bench.py's implementation
+    (same semantics, plus its TILER_BENCH_FAKE_PROBE / PROBE_TIMEOUT_S
+    test hooks; keeping one copy stops the two from drifting)."""
+    sys.path.insert(0, ROOT)
+    from bench import _tunnel_alive
+
+    return _tunnel_alive()
 
 
 def run_child(name, env_extra, frames, timeout=3000):
@@ -255,7 +252,13 @@ def main():
                     combo_env[ek] = ev
             combo_keys.append(k)
     if len(combo_keys) > 1:
-        results["combo_flags"] = combo_keys
+        if not (isinstance(results.get("combo"), dict)
+                and "fps" in results["combo"]):
+            # only (re)label the flag union when the combo child will
+            # actually run: a resumed file keeps its measured combo, and
+            # overwriting combo_flags would attribute those numbers to a
+            # flag set that was never measured together
+            results["combo_flags"] = combo_keys
         measure("combo", f"combo {'+'.join(combo_keys)}", combo_env)
 
     save()

@@ -125,3 +125,29 @@ def test_pipelined_ingest_eager_env_matches(monkeypatch):
     assert np.array_equal(np.asarray(st0.tiles_canon),
                           np.asarray(st1.tiles_canon))
     assert np.allclose(st0.correlations, st1.correlations)
+
+
+def test_padding_preserves_memmap_spill(tmp_path):
+    """Non-8-multiple dims on a disk-spilled (memmap) frames array must
+    pad chunk-wise into another spill memmap, not re-materialize the
+    clip in RAM as a plain ndarray (the beyond-RAM videos the spill
+    feature exists for; checkpoint sidecars also key on the subclass)."""
+    from tiler_tpu.utils.spill import spill_memmap
+
+    F, H, W = 4, 30, 44  # not multiples of 8
+    src = spill_memmap((F, H, W, 3))
+    rng = np.random.RandomState(2)
+    src[:] = rng.randint(0, 256, (F, H, W, 3))
+    s = EncoderSettings()
+    st = load(EncodeState(), src, fps=10.0, settings=s)
+    st.ensure_ingest()
+    assert st.tilemap_h == 4 and st.tilemap_w == 6
+    # frames either stayed device-side (small clip fits HBM budget) or,
+    # if host-resident, must still be memmap-backed
+    if isinstance(st.frames_rgb, np.ndarray):
+        assert isinstance(st.frames_rgb, np.memmap)
+    # padded content matches the eager ndarray path bit for bit
+    st2 = load(EncodeState(), np.asarray(src).copy(), fps=10.0, settings=s)
+    st2.ensure_ingest()
+    assert np.array_equal(np.asarray(st.tiles_canon),
+                          np.asarray(st2.tiles_canon))

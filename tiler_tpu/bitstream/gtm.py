@@ -392,9 +392,14 @@ class GTMWriter:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(workers) as ex:
+                # threads=1 inside the pool: letting each stream ALSO
+                # auto-spawn its finder-ahead thread oversubscribes the
+                # cores with spin-yield waits (output bytes identical at
+                # every thread count — the codec's own pinned guarantee)
                 comps = list(ex.map(
                     lambda p: lzma_codec.compress(
-                        p, lc=self.lc, lp=self.lp, mode=self.lzma_mode),
+                        p, lc=self.lc, lp=self.lp, mode=self.lzma_mode,
+                        threads=1),
                     payloads))
         else:
             comps = [lzma_codec.compress(p, lc=self.lc, lp=self.lp,
@@ -517,6 +522,13 @@ class _ByteReader:
         return v
 
     def raw(self, n):
+        if self.p + n > len(self.b):
+            # a short slice here would silently swallow the rest of the
+            # payload (a bit-flipped length field) — the typed-error
+            # contract says payloads running past the buffer FAIL FAST
+            raise GTMFormatError(
+                f"command payload of {n} bytes runs past the stream "
+                f"(at {self.p}/{len(self.b)})")
         v = self.b[self.p : self.p + n]
         self.p += n
         return v

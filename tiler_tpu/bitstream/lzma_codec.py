@@ -71,7 +71,7 @@ def default_filters(lc: int = 4, lp: int = 0, pb: int = 2, dict_size: int = 1 <<
 
 
 def compress(data: bytes, lc: int = 8, lp: int = 0, pb: int = 2,
-             mode: str = "optimal") -> bytes:
+             mode: str = "optimal", threads: int = 0) -> bytes:
     """Compress one keyframe payload into an EOS-terminated .lzma-alone
     stream. Default lc=8 matches the reference encoder (extern.pas:427)
     via the native codec; falls back to liblzma (lc clamped to <=4, still
@@ -84,7 +84,8 @@ def compress(data: bytes, lc: int = 8, lp: int = 0, pb: int = 2,
     if nat is not None:
         try:
             return nat.lzma_compress(data, lc=lc, lp=lp, pb=pb,
-                                     depth=(2 if mode == "fast" else -2))
+                                     depth=(2 if mode == "fast" else -2),
+                                     threads=threads)
         except Exception:
             pass
     if lc > 4 or lc + lp > 4:

@@ -173,7 +173,19 @@ def load_image_sequence(pattern: str, start_frame: int = 0,
     (tilingencoder.pas:1790)."""
     from PIL import Image
 
-    frames = _FrameSink(0, spill_budget)
+    # count the matching files up front: a hint-less spill sink grows by
+    # re-copying its whole memmap per 1.5x step (~2x extra disk writes +
+    # a transient ~2.5x footprint on exactly the beyond-RAM sequences
+    # the spill exists for); the files are on disk, so the count is free
+    hint = 0
+    if spill_budget:
+        j = start_frame
+        while os.path.exists(pattern % j) and (
+                frame_count is None or hint < frame_count):
+            hint += 1
+            j += 1
+
+    frames = _FrameSink(hint, spill_budget)
     i = start_frame
     while frame_count is None or len(frames) < frame_count:
         p = pattern % i

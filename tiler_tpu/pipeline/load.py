@@ -110,7 +110,27 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
         # sidecar's isinstance(np.memmap) detection)
         frames_rgb = np.ascontiguousarray(frames_rgb)
     if frames_rgb.shape[1] % TILE_W or frames_rgb.shape[2] % TILE_W:
-        frames_rgb = np.stack([pad_frame(f) for f in frames_rgb])
+        if isinstance(frames_rgb, np.memmap):
+            # disk-spilled ingest (_FrameSink with spill_budget): padding
+            # via np.stack would re-materialize the whole beyond-RAM clip
+            # in memory AND strip the memmap subclass the checkpoint
+            # sidecar detection relies on — pad chunk-by-chunk into a
+            # fresh spill memmap instead (bounded RAM, stays on disk)
+            from ..utils.spill import spill_memmap
+
+            Fm = frames_rgb.shape[0]
+            h0, w0 = frames_rgb.shape[1], frames_rgb.shape[2]
+            hp = -(-h0 // TILE_W) * TILE_W
+            wp = -(-w0 // TILE_W) * TILE_W
+            dest = spill_memmap((Fm, hp, wp, 3), dtype=frames_rgb.dtype)
+            step = max(1, int(256e6 / max(1, hp * wp * 3)))
+            for i in range(0, Fm, step):
+                j = min(Fm, i + step)
+                dest[i:j] = np.stack(
+                    [pad_frame(f) for f in frames_rgb[i:j]])
+            frames_rgb = dest
+        else:
+            frames_rgb = np.stack([pad_frame(f) for f in frames_rgb])
     F, H, W, _ = frames_rgb.shape
     state.fps = float(fps)
     state.tilemap_h = H // TILE_W
