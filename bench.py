@@ -203,6 +203,13 @@ def main():
             f"PSNR-HVS {enc3.state.total_psnr:.2f} dB | "
             f"{enc3.stats.total_bytes} bytes"
         )
+        # synced split for the realistic point too: the city-vs-synthetic
+        # fps gap was hard to attribute all of r4 without one
+        os.environ["TILER_TPU_SYNC_STEPS"] = "1"
+        enc4 = Encoder(settings, log=lambda *a: None)
+        enc4.run_all(real, fps=25.0, out_path=out)
+        del os.environ["TILER_TPU_SYNC_STEPS"]
+        rsteps = {k: round(v, 3) for k, v in enc4.timings.items()}
         result["realistic"] = {
             "metric": f"encode_fps_{H}p_realistic",
             "content": "city_cif upscaled",
@@ -210,6 +217,7 @@ def main():
             "vs_baseline": round(F / best / 30.0, 5),
             "psnr_hvs_db": round(enc3.state.total_psnr, 3),
             "bytes": enc3.stats.total_bytes,
+            "steady_steps_s": rsteps,
         }
 
     print(json.dumps(result))
