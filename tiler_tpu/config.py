@@ -88,7 +88,9 @@ class EncoderSettings:
     # "pallas" (block top-k kernel), "xla" (lax.top_k over the distance
     # matmul), or "ivf" (two-level inverted-file search, pipeline/ivf.py
     # — approximate like the reference's ANN kd-trees, extern.pas:182-185;
-    # the EPU re-ranks survivors with exact errors)
+    # the EPU re-ranks survivors with exact errors). CHIP VERDICT (r4
+    # battery, docs/PERF.md): ivf LOSES at bench corpus size — 4.67 vs
+    # 5.32 fps; the KNN matmul was never the wall, gathers were
     ivf_probes: int = 8  # IVF blocks probed per query (recall knob)
     ivf_min_corpus: int = 4096  # brute force below this corpus size
     # (block probing only beats one matmul on large corpora)
@@ -98,7 +100,11 @@ class EncoderSettings:
     # outer products), stage 2 re-ranks the top epu_stage1_m pairs with
     # EXACT pixel-render errors. Gi gather bytes /8, Qi /2; measured
     # 99.3% winner agreement, +0.21% mean exact-err at CIF/256
-    # (scripts/ab_epu_lowrank.py, docs/PERF.md).
+    # (scripts/ab_epu_lowrank.py). CHIP VERDICT (r4 battery,
+    # docs/PERF.md): dead end at bench settings — M=16 fails the
+    # quality gate (-0.47 dB tie-collapse), M=32 restores fidelity but
+    # measured NO reconstruct win; stays selectable for large-corpus
+    # regimes where the gather arithmetic changes.
     epu_stage1_dims: int = 48  # stage-1 rank dims (3*r^2; 48 -> the
     # 4x4 low-frequency DCT block per channel)
     epu_stage1_m: int = 16  # exact-re-ranked survivors per cell
