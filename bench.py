@@ -32,6 +32,13 @@ import time
 
 import numpy as np
 
+# INVARIANT: no module-level `import jax` (or any tiler_tpu import) in
+# this file, ever. scripts/chip_playbook.py imports this module into its
+# PARENT process to share _tunnel_alive; a module-level jax import would
+# wedge that parent on a dead tunnel — the exact failure mode the
+# disposable-child probe exists to avoid. All heavy imports live inside
+# main(), which only runs in the TILER_BENCH_CHILD subprocess.
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -59,12 +66,17 @@ def synthetic_clip(F, H, W, seed=0):
 DEMO_GTM = "/root/reference/docs/demo/city_cif.gtm"
 
 
-def realistic_clip(F, H, W):
-    """Real-content bench input: the reference's own city_cif demo decoded
-    and bilinearly upscaled to the bench resolution. VERDICT r02 weak #8:
-    the synthetic clip's exact np.roll motion makes half the field
-    zero-error ties; this point keeps fps/PSNR trends honest on real
-    content. Returns None when the reference demos are unavailable."""
+def realistic_clip(F):
+    """Real-content bench input: the reference's own city_cif demo
+    decoded at SOURCE resolution. VERDICT r02 weak #8: the synthetic
+    clip's exact np.roll motion makes half the field zero-error ties;
+    this point keeps fps/PSNR trends honest on real content. The encoder
+    upscales to the bench resolution ON DEVICE (settings.device_resample
+    / load_frames(resample_to=...)): the TPU-first ingest ships ~4.9 MB
+    of CIF pixels per 16 frames instead of 44 MB of pre-upscaled 720p —
+    VERDICT r04 #2 (through r4 this function upscaled bilinearly on the
+    host, which made the realistic point mostly a tunnel-h2d benchmark).
+    Returns None when the reference demos are unavailable."""
     if not os.path.exists(DEMO_GTM):
         return None
     from tiler_tpu.bitstream.gtm import GTMDecoder
@@ -74,21 +86,7 @@ def realistic_clip(F, H, W):
         if i >= F:
             break
         frames.append(fr[..., :3])
-    src = np.stack(frames).astype(np.float32)  # [F, 288, 352, 3]
-    sh, sw = src.shape[1], src.shape[2]
-    fy = (np.arange(H) + 0.5) * sh / H - 0.5
-    fx = (np.arange(W) + 0.5) * sw / W - 0.5
-    y0 = np.clip(np.floor(fy).astype(np.int32), 0, sh - 2)
-    x0 = np.clip(np.floor(fx).astype(np.int32), 0, sw - 2)
-    wy = (fy - y0)[None, :, None, None]
-    wx = (fx - x0)[None, None, :, None]
-    a = src[:, y0][:, :, x0]
-    b = src[:, y0][:, :, x0 + 1]
-    c = src[:, y0 + 1][:, :, x0]
-    d = src[:, y0 + 1][:, :, x0 + 1]
-    up = (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
-          + c * wy * (1 - wx) + d * wy * wx)
-    return np.clip(np.round(up), 0, 255).astype(np.uint8)
+    return np.stack(frames)  # [F, 288, 352, 3] uint8
 
 
 def main():
@@ -154,8 +152,11 @@ def main():
     log("steady steps (synced): " + json.dumps(steps))
     # window-quality provenance: the load step is ~pure h2d of the clip
     # bytes, so its synced time doubles as a tunnel bandwidth gauge
-    # (driver windows measured 13-130 MB/s; fps tracks it)
-    h2d_mbps = round(F * H * W * 3 / 1e6 / max(steps.get("load", 1e9), 1e-3), 1)
+    # (driver windows measured 13-130 MB/s; fps tracks it). null when the
+    # synced run somehow lacks a load timing — 0.0 would read as measured.
+    load_s = steps.get("load")
+    h2d_mbps = (round(F * H * W * 3 / 1e6 / max(load_s, 1e-3), 1)
+                if load_s else None)
 
     # sanity: stream must decode to the right frame count
     frames = GTMDecoder(out).decode_frames()
@@ -182,18 +183,23 @@ def main():
     # bench res). VERDICT r03 #7: always emitted so round-over-round
     # trends don't depend on the motion-flattering synthetic clip.
     result["realistic"] = None
-    real = realistic_clip(F, H, W)
+    real = realistic_clip(F)
     if real is not None:
-        enc3 = Encoder(settings, log=lambda *a: None)
-        enc3.run_all(real, fps=25.0, out_path=out)  # warmup (data-dep shapes)
+        def run_real(enc):
+            # device-resample ingest: source-res pixels over h2d, Lanczos
+            # upscale to bench resolution on chip
+            enc.load_frames(real, fps=25.0, resample_to=(H, W))
+            enc.run_all(out_path=out)
+            return enc
+
+        enc3 = run_real(Encoder(settings, log=lambda *a: None))  # warmup
         # same adaptive de-noising as the synthetic loop (this is the
         # number verdicts gate on; realistic runs ~1.4x longer so the
         # minimum is 2 runs instead of 3)
         rwalls = []
         for i in range(5):
             t0 = time.time()
-            enc3 = Encoder(settings, log=lambda *a: None)
-            enc3.run_all(real, fps=25.0, out_path=out)
+            enc3 = run_real(Encoder(settings, log=lambda *a: None))
             rwalls.append(time.time() - t0)
             if i >= 1 and max(rwalls) / min(rwalls) < 1.25:
                 break
@@ -206,8 +212,7 @@ def main():
         # synced split for the realistic point too: the city-vs-synthetic
         # fps gap was hard to attribute all of r4 without one
         os.environ["TILER_TPU_SYNC_STEPS"] = "1"
-        enc4 = Encoder(settings, log=lambda *a: None)
-        enc4.run_all(real, fps=25.0, out_path=out)
+        enc4 = run_real(Encoder(settings, log=lambda *a: None))
         del os.environ["TILER_TPU_SYNC_STEPS"]
         rsteps = {k: round(v, 3) for k, v in enc4.timings.items()}
         result["realistic"] = {

@@ -37,9 +37,11 @@ from tiler_tpu.pipeline.encoder import Encoder
 F = int(os.environ.get("PB_FRAMES", "16"))
 W = int(os.environ.get("PB_W", "1280"))
 H = int(os.environ.get("PB_H", "720"))
+resample_to = None
 if os.environ.get("PB_CONTENT") == "city":
-    clip = realistic_clip(F, H, W)
+    clip = realistic_clip(F)  # source-res CIF; device upscales (r5)
     assert clip is not None, "reference demo stream unavailable"
+    resample_to = (H, W)
 else:
     clip = synthetic_clip(F, H, W)
 settings = EncoderSettings(
@@ -50,20 +52,24 @@ settings = EncoderSettings(
     epu_knn_k=int(os.environ.get("PB_EPU_K", "64")),
 )
 settings.apply_overrides(os.environ.get("PB_SETTINGS", ""))
+def run_one(enc):
+    if resample_to is not None:
+        enc.load_frames(clip, fps=25.0, resample_to=resample_to)
+        enc.run_all(out_path="/tmp/pb.gtm")
+    else:
+        enc.run_all(clip, fps=25.0, out_path="/tmp/pb.gtm")
+    return enc
 # warm (compiles)
-enc = Encoder(settings, log=lambda *a: None)
-enc.run_all(clip, fps=25.0, out_path="/tmp/pb.gtm")
+enc = run_one(Encoder(settings, log=lambda *a: None))
 # steady, best of 2
 best = None
 for _ in range(2):
     t0 = time.time()
-    enc = Encoder(settings, log=lambda *a: None)
-    enc.run_all(clip, fps=25.0, out_path="/tmp/pb.gtm")
+    enc = run_one(Encoder(settings, log=lambda *a: None))
     best = min(best or 1e9, time.time() - t0)
 # synced split
 os.environ["TILER_TPU_SYNC_STEPS"] = "1"
-enc2 = Encoder(settings, log=lambda *a: None)
-enc2.run_all(clip, fps=25.0, out_path="/tmp/pb.gtm")
+enc2 = run_one(Encoder(settings, log=lambda *a: None))
 print("PBJSON " + json.dumps({
     "fps": round(F / best, 3),
     "wall_s": round(best, 2),
@@ -83,6 +89,12 @@ def probe():
     sys.path.insert(0, ROOT)
     from bench import _tunnel_alive
 
+    # bench.py must keep jax OUT of module scope (guard comment at its
+    # top): this import runs in the playbook's MAIN process, and a
+    # module-level jax import there would wedge us on a dead tunnel —
+    # the failure mode the disposable-child probe exists to avoid.
+    assert "jax" not in sys.modules, (
+        "bench.py imported jax at module scope; see its header invariant")
     return _tunnel_alive()
 
 

@@ -7,6 +7,7 @@
 #
 #   nohup sh scripts/playbook_watch.sh > /tmp/playbook_watch.log 2>&1 &
 ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+FAILS=0
 while true; do
   if [ -e /tmp/cpu_busy ]; then
     # a CPU-heavy job (test suite) owns the 1-core host; measuring now
@@ -28,6 +29,16 @@ while true; do
     if [ "$rc" = "0" ]; then
       touch /tmp/playbook.done
       exit 0
+    elif [ "$rc" != "2" ]; then
+      # rc!=0/2 is a code bug, not a tunnel flap: re-entering forever
+      # would re-run the failing child (up to 50 min each pass) and burn
+      # the chip window. Three strikes, then give up loudly.
+      FAILS=$((FAILS + 1))
+      echo "$(date -u +%H:%M:%S) non-tunnel failure ($FAILS/3)" >&2
+      if [ "$FAILS" -ge 3 ]; then
+        echo "$(date -u +%H:%M:%S) giving up: persistent non-tunnel failure rc=$rc" >&2
+        exit 1
+      fi
     fi
   else
     echo "$(date -u +%H:%M:%S) tunnel down" >&2

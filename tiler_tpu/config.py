@@ -59,6 +59,14 @@ class EncoderSettings:
     color_quantizer: str = "kmeans"  # per-palette color quantizer:
     # "kmeans" (yakmo parity) or "mediancut" (the dlquant DL1/DL3 role,
     # extern.pas:195-196 — deterministic box cuts, host-side)
+    device_resample: bool = True  # ingest ships SOURCE-resolution pixels
+    # (raw 4:2:0/4:4:4 planes for y4m and natively-4:2:0 video) and runs
+    # chroma upsample + YUV->RGB + the Lanczos `Scaling` resize ON DEVICE
+    # (ops/resample.py) instead of the host PIL/sws path the reference
+    # uses (extern.pas:759-789 — it has no device). Output-affecting only
+    # when scaling != 1 (the Lanczos implementations differ in rounding
+    # detail; measured ~50 dB vs the host filter, tests/test_resample.py);
+    # at scaling == 1 the planar conversion is bit-identical to load_y4m.
     int16_features: bool = False  # round psy-vis features to integers
     # (SmallInt semantics, tilingencoder.pas:3126) in the motion/
     # reconstruct EXACT error paths — near-tie selections then match the
@@ -175,6 +183,18 @@ class EncoderSettings:
         ("TPU", "EpuTwoStage", "epu_two_stage", bool),
         ("TPU", "EpuStage1Dims", "epu_stage1_dims", int),
         ("TPU", "EpuStage1M", "epu_stage1_m", int),
+        ("TPU", "DeviceResample", "device_resample", bool),
+    )
+
+    # Settings keys that earlier rounds emitted (so they exist in old
+    # streams' embedded settings text) but that were later REMOVED from
+    # the surface. from_ini must not silently ignore them — a stream that
+    # set one would otherwise reproduce a different (default) encoder
+    # config with no hint (stream-reproducibility contract).
+    _REMOVED_INI_KEYS = (
+        ("TPU", "EpuInt8Tables",
+         "one-stage int8 EPU tables were deleted in round 4 (superseded "
+         "by EpuTwoStage; see docs/PERF.md battery verdicts)"),
     )
 
     def apply_overrides(self, spec: str) -> "EncoderSettings":
@@ -244,4 +264,13 @@ class EncoderSettings:
                 setattr(self, attr, float(raw))
             else:
                 setattr(self, attr, raw)
+        for section, key, why in cls._REMOVED_INI_KEYS:
+            if cp.has_option(section, key):
+                import warnings
+
+                warnings.warn(
+                    f"settings key [{section}]{key} was removed: {why}. "
+                    "A stream encoded with it set will not reproduce "
+                    "exactly from its embedded settings.",
+                    stacklevel=2)
         return self

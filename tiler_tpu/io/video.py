@@ -14,6 +14,7 @@ Scaling follows the reference semantics: output dimensions scaled by
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 import re
 import shutil
@@ -21,6 +22,50 @@ import subprocess
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+
+@dataclasses.dataclass
+class PlanarClip:
+    """Source-resolution YUV planes for DEVICE-side ingest (chroma
+    upsample + YUV->RGB + Lanczos `Scaling` run on chip, ops/resample.py)
+    instead of the host paths below. Ships ~1.5 bytes/px over h2d for
+    4:2:0 content vs 3 bytes/px RGB at TARGET resolution — CIF->720p cuts
+    the transfer ~18x. Full-range BT.601, same constants as load_y4m."""
+
+    y: np.ndarray  # [F, h, w] uint8
+    u: np.ndarray  # [F, hc, wc] uint8 (hc/wc divide h/w)
+    v: np.ndarray  # [F, hc, wc] uint8
+    fps: float
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.y)
+
+    @property
+    def src_h(self) -> int:
+        return self.y.shape[1]
+
+    @property
+    def src_w(self) -> int:
+        return self.y.shape[2]
+
+    def to_rgb_host(self, scaling: float = 1.0) -> np.ndarray:
+        """Host fallback (beyond-HBM clips): the exact load_y4m math —
+        nearest chroma upsample, BT.601, round/clip, PIL Lanczos."""
+        out = []
+        for i in range(self.n_frames):
+            y = self.y[i].astype(np.float32)
+            u = self.u[i].astype(np.float32) - 128.0
+            v = self.v[i].astype(np.float32) - 128.0
+            if u.shape != y.shape:
+                u = u.repeat(y.shape[0] // u.shape[0], 0).repeat(y.shape[1] // u.shape[1], 1)
+                v = v.repeat(y.shape[0] // v.shape[0], 0).repeat(y.shape[1] // v.shape[1], 1)
+            r = y + 1.13983 * v
+            g = y - 0.39465 * u - 0.58060 * v
+            b = y + 2.03211 * u
+            rgb = np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
+            out.append(_scale_frame(rgb, scaling))
+        return np.stack(out)
 
 
 class _FrameSink:
@@ -91,34 +136,79 @@ def _scale_frame(f: np.ndarray, scaling: float) -> np.ndarray:
     return np.asarray(Image.fromarray(f).resize((nw, nh), Image.LANCZOS))
 
 
+def _y4m_header(f):
+    """Parse the YUV4MPEG2 stream header; returns (W, H, fps, planes)."""
+    header = f.readline().decode("ascii").strip()
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a y4m file")
+    W = H = 0
+    fps = 24.0
+    cs = "420"
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            W = int(tok[1:])
+        elif tok[0] == "H":
+            H = int(tok[1:])
+        elif tok[0] == "F":
+            n, d = tok[1:].split(":")
+            fps = float(n) / float(d)
+        elif tok[0] == "C":
+            cs = tok[1:]
+    if cs.startswith("444"):
+        planes = [(H, W), (H, W), (H, W)]
+    elif cs.startswith("420"):
+        planes = [(H, W), (H // 2, W // 2), (H // 2, W // 2)]
+    elif cs.startswith("422"):
+        planes = [(H, W), (H, W // 2), (H, W // 2)]
+    else:
+        raise ValueError(f"unsupported y4m colorspace {cs}")
+    return W, H, fps, planes
+
+
+def load_y4m_planar(path: str, start_frame: int = 0,
+                    frame_count: Optional[int] = None,
+                    spill_budget: int = 0) -> PlanarClip:
+    """Parse YUV4MPEG2 into raw source-resolution planes — NO host chroma
+    upsample, NO host colorspace conversion, NO host scaling; those run
+    on device (pipeline/load.py + ops/resample.py)."""
+    with open(path, "rb") as f:
+        W, H, fps, planes = _y4m_header(f)
+        fsz = sum(h * w for h, w in planes)
+        data_start = f.tell()
+        total_sz = os.fstat(f.fileno()).st_size
+        est_total = max(0, (total_sz - data_start) // (fsz + 6))
+        cap = est_total - start_frame
+        if frame_count is not None:
+            cap = min(cap, frame_count)
+        sinks = [_FrameSink(max(cap, 0), spill_budget) for _ in planes]
+        idx = 0
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            if not line.startswith(b"FRAME"):
+                raise ValueError("bad y4m frame header")
+            raw = f.read(fsz)
+            if len(raw) < fsz:
+                break
+            if idx >= start_frame and (
+                    frame_count is None or len(sinks[0]) < frame_count):
+                off = 0
+                for sink, (h, w) in zip(sinks, planes):
+                    sink.append(
+                        np.frombuffer(raw, np.uint8, h * w, off).reshape(h, w))
+                    off += h * w
+            idx += 1
+            if frame_count is not None and len(sinks[0]) >= frame_count:
+                break
+    return PlanarClip(sinks[0].array(), sinks[1].array(), sinks[2].array(), fps)
+
+
 def load_y4m(path: str, start_frame: int = 0, frame_count: Optional[int] = None,
              scaling: float = 1.0, spill_budget: int = 0) -> Tuple[np.ndarray, float]:
     """Parse YUV4MPEG2; returns (frames [F,H,W,3] uint8 RGB, fps)."""
     with open(path, "rb") as f:
-        header = f.readline().decode("ascii").strip()
-        if not header.startswith("YUV4MPEG2"):
-            raise ValueError("not a y4m file")
-        W = H = 0
-        fps = 24.0
-        cs = "420"
-        for tok in header.split()[1:]:
-            if tok[0] == "W":
-                W = int(tok[1:])
-            elif tok[0] == "H":
-                H = int(tok[1:])
-            elif tok[0] == "F":
-                n, d = tok[1:].split(":")
-                fps = float(n) / float(d)
-            elif tok[0] == "C":
-                cs = tok[1:]
-        if cs.startswith("444"):
-            planes = [(H, W), (H, W), (H, W)]
-        elif cs.startswith("420"):
-            planes = [(H, W), (H // 2, W // 2), (H // 2, W // 2)]
-        elif cs.startswith("422"):
-            planes = [(H, W), (H, W // 2), (H, W // 2)]
-        else:
-            raise ValueError(f"unsupported y4m colorspace {cs}")
+        W, H, fps, planes = _y4m_header(f)
         fsz = sum(h * w for h, w in planes)
         # capacity hint from the file size (single-copy ingest: a 2-min
         # 720p clip is ~8 GB of frames — a transient second copy via
@@ -223,56 +313,111 @@ def _probe_banner(ffmpeg: str, path: str):
     return W, H, fps, nb
 
 
+def _probe_ffmpeg(ffmpeg: str, path: str):
+    """Probe (W, H, fps, nb_frames, cfr, pix_fmt) via ffprobe when
+    available, else the ffmpeg banner (which can't prove CFR or report a
+    reliable pix_fmt)."""
+    ffprobe = shutil.which("ffprobe")
+    if not ffprobe:
+        # no ffprobe on this host: parse the ffmpeg -i banner instead
+        # (W=0 would otherwise spin forever on zero-byte pipe reads);
+        # banner probing can't prove CFR, so time-seek stays disabled
+        W, H, fps, nb_frames = _probe_banner(ffmpeg, path)
+        return W, H, fps, nb_frames, False, ""
+    # JSON output keyed by NAME: csv=p=0 prints fields in ffprobe's
+    # internal stream order (duration before nb_frames), NOT the
+    # -show_entries request order — positional parsing silently
+    # swapped them, inflating the preallocation estimate ~fps-fold
+    import json as _json
+
+    info = _json.loads(subprocess.run(
+        [ffprobe, "-v", "quiet", "-select_streams", "v:0",
+         "-show_entries",
+         "stream=width,height,r_frame_rate,avg_frame_rate,nb_frames,"
+         "duration,pix_fmt",
+         "-of", "json", path],
+        capture_output=True, text=True, check=True,
+    ).stdout)["streams"][0]
+    W, H = int(info["width"]), int(info["height"])
+    n, d = info["r_frame_rate"].split("/")
+    fps = float(n) / float(d)
+    # constant frame rate <=> r_frame_rate == avg_frame_rate; VFR (or
+    # telecined streams reporting 2x r_frame_rate) must NOT time-seek —
+    # the pipe would silently start at the wrong frame
+    try:
+        an, ad = info.get("avg_frame_rate", "0/0").split("/")
+        cfr = float(ad) != 0.0 and abs(fps - float(an) / float(ad)) < 1e-9
+    except ValueError:
+        cfr = False
+    nb_frames = 0
+    if str(info.get("nb_frames", "")).isdigit():
+        nb_frames = int(info["nb_frames"])
+    elif "duration" in info:
+        try:
+            nb_frames = int(float(info["duration"]) * fps) + 2
+        except ValueError:
+            pass
+    return W, H, fps, nb_frames, cfr, str(info.get("pix_fmt", ""))
+
+
+def load_ffmpeg_planar(path: str, start_frame: int = 0,
+                       frame_count: Optional[int] = None,
+                       spill_budget: int = 0) -> Optional[PlanarClip]:
+    """Decode a natively-4:2:0 video into raw yuv420p planes for device
+    ingest. Returns None when the source isn't 4:2:0 (forcing a chroma
+    subsample there would CHANGE content, not just move work) or ffmpeg
+    is unavailable."""
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        return None
+    W, H, fps, nb_frames, cfr, pix_fmt = _probe_ffmpeg(ffmpeg, path)
+    if pix_fmt not in ("yuv420p", "yuvj420p") or W % 2 or H % 2:
+        return None
+    seek = []
+    idx = 0
+    if start_frame > 0 and cfr and fps > 0:
+        seek = ["-ss", f"{max(0.0, (start_frame - 0.5) / fps):.6f}"]
+        idx = start_frame
+    cmd = [ffmpeg, "-v", "quiet", *seek, "-i", path,
+           "-f", "rawvideo", "-pix_fmt", "yuv420p", "-"]
+    ysz, csz = H * W, (H // 2) * (W // 2)
+    fsz = ysz + 2 * csz
+    cap = max(0, nb_frames - start_frame)
+    if frame_count is not None and cap:
+        cap = min(cap, frame_count)
+    sy = _FrameSink(cap, spill_budget)
+    su = _FrameSink(cap, spill_budget)
+    sv = _FrameSink(cap, spill_budget)
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+    try:
+        while frame_count is None or len(sy) < frame_count:
+            raw = proc.stdout.read(fsz)
+            if len(raw) < fsz:
+                break
+            if idx >= start_frame:
+                sy.append(np.frombuffer(raw, np.uint8, ysz, 0).reshape(H, W))
+                su.append(np.frombuffer(raw, np.uint8, csz, ysz)
+                          .reshape(H // 2, W // 2))
+                sv.append(np.frombuffer(raw, np.uint8, csz, ysz + csz)
+                          .reshape(H // 2, W // 2))
+            idx += 1
+    finally:
+        proc.stdout.close()
+        proc.wait()
+    if not len(sy):
+        return None
+    return PlanarClip(sy.array(), su.array(), sv.array(), fps)
+
+
 def load_ffmpeg(path: str, start_frame: int = 0, frame_count: Optional[int] = None,
                 scaling: float = 1.0, spill_budget: int = 0) -> Tuple[np.ndarray, float]:
     """Decode via the ffmpeg binary, STREAMING the rawvideo pipe frame by
     frame into a preallocated array (capturing the whole pipe then
     copying doubled host RAM — a 2-min 720p clip is ~8 GB of frames)."""
     ffmpeg = shutil.which("ffmpeg")
-    ffprobe = shutil.which("ffprobe")
     if ffmpeg is None:
         raise RuntimeError("ffmpeg binary not available")
-    W = H = 0
-    fps = 24.0
-    nb_frames = 0
-    cfr = False
-    if ffprobe:
-        # JSON output keyed by NAME: csv=p=0 prints fields in ffprobe's
-        # internal stream order (duration before nb_frames), NOT the
-        # -show_entries request order — positional parsing silently
-        # swapped them, inflating the preallocation estimate ~fps-fold
-        import json as _json
-
-        info = _json.loads(subprocess.run(
-            [ffprobe, "-v", "quiet", "-select_streams", "v:0",
-             "-show_entries",
-             "stream=width,height,r_frame_rate,avg_frame_rate,nb_frames,duration",
-             "-of", "json", path],
-            capture_output=True, text=True, check=True,
-        ).stdout)["streams"][0]
-        W, H = int(info["width"]), int(info["height"])
-        n, d = info["r_frame_rate"].split("/")
-        fps = float(n) / float(d)
-        # constant frame rate <=> r_frame_rate == avg_frame_rate; VFR (or
-        # telecined streams reporting 2x r_frame_rate) must NOT time-seek —
-        # the pipe would silently start at the wrong frame
-        try:
-            an, ad = info.get("avg_frame_rate", "0/0").split("/")
-            cfr = float(ad) != 0.0 and abs(fps - float(an) / float(ad)) < 1e-9
-        except ValueError:
-            cfr = False
-        if str(info.get("nb_frames", "")).isdigit():
-            nb_frames = int(info["nb_frames"])
-        elif "duration" in info:
-            try:
-                nb_frames = int(float(info["duration"]) * fps) + 2
-            except ValueError:
-                pass
-    else:
-        # no ffprobe on this host: parse the ffmpeg -i banner instead
-        # (W=0 would otherwise spin forever on zero-byte pipe reads);
-        # banner probing can't prove CFR, so time-seek stays disabled
-        W, H, fps, nb_frames = _probe_banner(ffmpeg, path)
+    W, H, fps, nb_frames, cfr, _pix = _probe_ffmpeg(ffmpeg, path)
     vf = []
     if scaling != 1.0:
         W, H = max(1, round(W * scaling)), max(1, round(H * scaling))
@@ -325,6 +470,24 @@ def load_video(path: str, start_frame: int = 0, frame_count: Optional[int] = Non
         frames = np.stack([f[..., :3] for f in dec.decode_frames()])
         return frames, 24.0
     return load_ffmpeg(path, start_frame, frame_count, scaling, spill_budget)
+
+
+def load_video_planar(path: str, start_frame: int = 0,
+                      frame_count: Optional[int] = None,
+                      spill_budget: int = 0) -> Optional[PlanarClip]:
+    """Planar (device-ingest) loader: raw YUV planes at source resolution
+    for sources that are natively planar — y4m files and 4:2:0 video via
+    ffmpeg. Returns None when the source isn't (image sequences and .gtm
+    decode to RGB; subsampling them would change content) — callers fall
+    back to load_video's host RGB path."""
+    if re.search(r"%0?\d*d", path) or path.lower().endswith(".gtm"):
+        return None
+    if path.lower().endswith(".y4m"):
+        return load_y4m_planar(path, start_frame, frame_count, spill_budget)
+    try:
+        return load_ffmpeg_planar(path, start_frame, frame_count, spill_budget)
+    except Exception:
+        return None  # probe/decode failure: host path gives the real error
 
 
 def manual_keyframes(path: str, start_frame: int, n_frames: int) -> Optional[List[int]]:

@@ -123,8 +123,12 @@ class EncodeState:
         if jobs is None:
             return
         while self._ingest_chunk_next < len(jobs) and self._ingest_chunk_next <= p:
-            jobs[self._ingest_chunk_next]()
-            self._ingest_chunk_next += 1
+            nxt = self._ingest_chunk_next
+            # advance BEFORE invoking: a job that throws after run_chunk
+            # has appended parts must not be re-run by a retrying caller
+            # (it would double-append that piece's tiles/flags/corr)
+            self._ingest_chunk_next = nxt + 1
+            jobs[nxt]()
         if self._ingest_chunk_next >= len(jobs):
             self._ingest_chunk_jobs = None
 

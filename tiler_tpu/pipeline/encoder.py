@@ -69,8 +69,10 @@ class Encoder:
         self.mesh = mesh
 
     # --- ingest -----------------------------------------------------------
-    def load_frames(self, frames_rgb: np.ndarray, fps: float = 24.0,
-                    manual_keyframes=None):
+    def load_frames(self, frames_rgb, fps: float = 24.0,
+                    manual_keyframes=None, resample_to=None):
+        """frames_rgb: [F,H,W,3] uint8 RGB or an io.video.PlanarClip;
+        resample_to=(H,W) resamples ON DEVICE (ops/resample.py)."""
         t0 = time.monotonic()
         # defer=True: the host pulls + keyframe detection stay in a
         # finalize closure that predict_motion runs AFTER dispatching its
@@ -79,6 +81,7 @@ class Encoder:
         self.state = load_mod.load(
             EncodeState(), frames_rgb, fps, self.settings,
             manual_keyframes=manual_keyframes, defer=True,
+            resample_to=resample_to,
         )
         self._stamp("load", t0)
         self.log(f"{self.state.n_frames} frames, {self.state.width}x{self.state.height} @ {fps:.3f} fps")
@@ -87,15 +90,44 @@ class Encoder:
     def load_video(self, path: Optional[str] = None):
         from ..io import video
 
-        path = path or self.settings.input_file_name
+        s = self.settings
+        path = path or s.input_file_name
+        count = s.frame_count or None
+        if s.device_resample:
+            # TPU-first ingest: ship raw source-res planes for planar
+            # sources; resample/convert on chip. Falls back per source
+            # type (image sequences / .gtm / non-4:2:0 video are RGB).
+            clip = video.load_video_planar(
+                path, s.start_frame, count, int(s.host_ram_budget))
+            if clip is not None:
+                rt = None
+                if s.scaling != 1.0:
+                    rt = (max(1, round(clip.src_h * s.scaling)),
+                          max(1, round(clip.src_w * s.scaling)))
+                manual = video.manual_keyframes(
+                    path, s.start_frame, clip.n_frames)
+                return self.load_frames(clip, clip.fps,
+                                        manual_keyframes=manual,
+                                        resample_to=rt)
+            if s.scaling != 1.0:
+                # RGB source: still ship source-res and Lanczos on device
+                frames, fps = video.load_video(
+                    path, start_frame=s.start_frame, frame_count=count,
+                    scaling=1.0, spill_budget=int(s.host_ram_budget))
+                rt = (max(1, round(frames.shape[1] * s.scaling)),
+                      max(1, round(frames.shape[2] * s.scaling)))
+                manual = video.manual_keyframes(
+                    path, s.start_frame, len(frames))
+                return self.load_frames(frames, fps, manual_keyframes=manual,
+                                        resample_to=rt)
         frames, fps = video.load_video(
             path,
-            start_frame=self.settings.start_frame,
-            frame_count=self.settings.frame_count or None,
-            scaling=self.settings.scaling,
-            spill_budget=int(self.settings.host_ram_budget),
+            start_frame=s.start_frame,
+            frame_count=count,
+            scaling=s.scaling,
+            spill_budget=int(s.host_ram_budget),
         )
-        manual = video.manual_keyframes(path, self.settings.start_frame, len(frames))
+        manual = video.manual_keyframes(path, s.start_frame, len(frames))
         return self.load_frames(frames, fps, manual_keyframes=manual)
 
     # --- steps ------------------------------------------------------------
@@ -286,6 +318,19 @@ class Encoder:
                 elif isinstance(v, (list, tuple)):  # _ingest_pieces
                     arrs.extend(jax.tree_util.tree_leaves(v))
             jax.block_until_ready(arrs)
+            # axon lazy-queue rule: block_until_ready does NOT flush
+            # queued h2d transfers — a step whose output is a freshly
+            # transferred array can "complete" instantly and bill the
+            # cost to the consuming step. End the drain in an actual
+            # value read over every live array (one tiny d2h pull).
+            if arrs:
+                import jax.numpy as jnp
+
+                tot = None
+                for v in arrs:
+                    s = v.sum().astype(jnp.float32)
+                    tot = s if tot is None else tot + s
+                float(tot)
         dt = time.monotonic() - t0
         self.timings[step] = dt
         self.log(f"[{step}] {dt:.3f}s")

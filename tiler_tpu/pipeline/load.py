@@ -88,50 +88,93 @@ def _detect_keyframes(F, corr, fps, settings, manual_keyframes):
     return kf_flags, reasons
 
 
-def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
+def load(state: EncodeState, frames_rgb, fps: float,
          settings: EncoderSettings,
          manual_keyframes: Optional[List[int]] = None,
-         defer: bool = False) -> EncodeState:
-    """Populate load-stage state from raw frames [F, H, W, 3] uint8.
+         defer: bool = False,
+         resample_to: Optional[tuple] = None) -> EncodeState:
+    """Populate load-stage state from raw frames [F, H, W, 3] uint8, OR
+    an io.video.PlanarClip (raw YUV planes), optionally resampling to
+    resample_to=(H, W) ON DEVICE (ops/resample.py).
 
     Large arrays (frames, canonical tiles) stay DEVICE-resident — the
     host keeps only mirror flags, correlations and keyframe metadata
     (host<->device bandwidth is the scarce resource; SURVEY.md maps the
-    reference's zlib in-RAM frame compression to HBM residency).
+    reference's zlib in-RAM frame compression to HBM residency). Device
+    ingest pushes that further: only SOURCE-resolution pixels cross h2d
+    (raw 4:2:0 planes when the source is planar), and chroma upsample +
+    YUV->RGB + the Lanczos `Scaling` resize run on chip — the reference
+    does all of this on the host because it has no device
+    (extern.pas:759-789).
 
     defer=True leaves the host pulls + keyframe detection in
     state._finalize_ingest (see module docstring); every downstream
     consumer of keyframes/flags calls state.ensure_ingest() first.
     """
-    if not frames_rgb.flags["C_CONTIGUOUS"]:
-        # only copy when actually needed: np.ascontiguousarray strips
-        # the np.memmap subclass, which would silently re-materialize a
-        # disk-spilled frames array in RAM (and break the checkpoint
-        # sidecar's isinstance(np.memmap) detection)
-        frames_rgb = np.ascontiguousarray(frames_rgb)
-    if frames_rgb.shape[1] % TILE_W or frames_rgb.shape[2] % TILE_W:
-        if isinstance(frames_rgb, np.memmap):
-            # disk-spilled ingest (_FrameSink with spill_budget): padding
-            # via np.stack would re-materialize the whole beyond-RAM clip
-            # in memory AND strip the memmap subclass the checkpoint
-            # sidecar detection relies on — pad chunk-by-chunk into a
-            # fresh spill memmap instead (bounded RAM, stays on disk)
-            from ..utils.spill import spill_memmap
+    from ..io.video import PlanarClip
 
-            Fm = frames_rgb.shape[0]
-            h0, w0 = frames_rgb.shape[1], frames_rgb.shape[2]
-            hp = -(-h0 // TILE_W) * TILE_W
-            wp = -(-w0 // TILE_W) * TILE_W
-            dest = spill_memmap((Fm, hp, wp, 3), dtype=frames_rgb.dtype)
-            step = max(1, int(256e6 / max(1, hp * wp * 3)))
-            for i in range(0, Fm, step):
-                j = min(Fm, i + step)
-                dest[i:j] = np.stack(
-                    [pad_frame(f) for f in frames_rgb[i:j]])
-            frames_rgb = dest
+    planar = isinstance(frames_rgb, PlanarClip)
+    device_ingest = planar or resample_to is not None
+    if device_ingest:
+        if planar:
+            Fd, sh, sw = frames_rgb.y.shape
         else:
-            frames_rgb = np.stack([pad_frame(f) for f in frames_rgb])
-    F, H, W, _ = frames_rgb.shape
+            Fd, sh, sw = frames_rgb.shape[:3]
+        th, tw = resample_to if resample_to is not None else (sh, sw)
+        if not planar and (th, tw) == (sh, sw):
+            device_ingest = False  # no conversion and no resize: the
+            # plain host-RGB path below is the same thing
+        Hp = -(-th // TILE_W) * TILE_W
+        Wp = -(-tw // TILE_W) * TILE_W
+        Nn = (Hp // TILE_W) * (Wp // TILE_W)
+        if Fd * Hp * Wp * 3 + Fd * Nn * 192 > getattr(
+                settings, "hbm_frames_budget", 8e9):
+            # device ingest needs HBM-resident target frames (the
+            # host-streaming/spill modes exist precisely because frames
+            # DON'T fit HBM) — materialize on host and fall through to
+            # the host path below
+            src = frames_rgb.to_rgb_host(1.0) if planar else frames_rgb
+            if (th, tw) != (sh, sw):
+                from PIL import Image
+
+                src = np.stack([np.asarray(
+                    Image.fromarray(np.asarray(f)).resize(
+                        (tw, th), Image.LANCZOS)) for f in src])
+            frames_rgb = src
+            device_ingest = False
+
+    if not device_ingest:
+        if not frames_rgb.flags["C_CONTIGUOUS"]:
+            # only copy when actually needed: np.ascontiguousarray strips
+            # the np.memmap subclass, which would silently re-materialize a
+            # disk-spilled frames array in RAM (and break the checkpoint
+            # sidecar's isinstance(np.memmap) detection)
+            frames_rgb = np.ascontiguousarray(frames_rgb)
+        if frames_rgb.shape[1] % TILE_W or frames_rgb.shape[2] % TILE_W:
+            if isinstance(frames_rgb, np.memmap):
+                # disk-spilled ingest (_FrameSink with spill_budget): padding
+                # via np.stack would re-materialize the whole beyond-RAM clip
+                # in memory AND strip the memmap subclass the checkpoint
+                # sidecar detection relies on — pad chunk-by-chunk into a
+                # fresh spill memmap instead (bounded RAM, stays on disk)
+                from ..utils.spill import spill_memmap
+
+                Fm = frames_rgb.shape[0]
+                h0, w0 = frames_rgb.shape[1], frames_rgb.shape[2]
+                hp = -(-h0 // TILE_W) * TILE_W
+                wp = -(-w0 // TILE_W) * TILE_W
+                dest = spill_memmap((Fm, hp, wp, 3), dtype=frames_rgb.dtype)
+                step = max(1, int(256e6 / max(1, hp * wp * 3)))
+                for i in range(0, Fm, step):
+                    j = min(Fm, i + step)
+                    dest[i:j] = np.stack(
+                        [pad_frame(f) for f in frames_rgb[i:j]])
+                frames_rgb = dest
+            else:
+                frames_rgb = np.stack([pad_frame(f) for f in frames_rgb])
+        F, H, W, _ = frames_rgb.shape
+    else:
+        F, H, W = Fd, Hp, Wp
     state.fps = float(fps)
     state.tilemap_h = H // TILE_W
     state.tilemap_w = W // TILE_W
@@ -140,8 +183,9 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
     # videos beyond the HBM budget stream from host RAM instead (the
     # reference's zlib in-RAM memory folding, tilingencoder.pas:1081-1152;
     # stages slice and transfer per chunk / per keyframe)
-    total_bytes = frames_rgb.nbytes + F * N * 192
-    device_resident = total_bytes <= getattr(settings, "hbm_frames_budget", 8e9)
+    total_bytes = F * H * W * 3 + F * N * 192
+    device_resident = device_ingest or total_bytes <= getattr(
+        settings, "hbm_frames_budget", 8e9)
 
     # …and beyond the HOST budget, the canonical tiles spill to a disk
     # memmap (frames usually already arrive memmap-backed from the
@@ -164,7 +208,36 @@ def load(state: EncodeState, frames_rgb: np.ndarray, fps: float,
     # array and poison later multi-device (mesh) programs that need to
     # re-shard it
     starts = list(range(0, F, piece))
-    put = lambda i: jnp.asarray(frames_rgb[starts[i] : starts[i] + piece])
+    if device_ingest:
+        # put() ships only SOURCE-resolution bytes and queues the
+        # conversion program behind them; the returned piece is the
+        # converted uint8 RGB at padded target resolution, so everything
+        # downstream (tile pass, motion, pieces list) is unchanged
+        from ..ops.resample import lanczos_matrix, planar_to_rgb, resize_rgb
+
+        need_resize = (th, tw) != (sh, sw)
+        lh = jnp.asarray(lanczos_matrix(sh, th) if need_resize
+                         else np.zeros((1, 1), np.float32))
+        lw = jnp.asarray(lanczos_matrix(sw, tw) if need_resize
+                         else np.zeros((1, 1), np.float32))
+        if planar:
+            clip = frames_rgb
+
+            def put(i):
+                s = slice(starts[i], starts[i] + piece)
+                return planar_to_rgb(
+                    jnp.asarray(clip.y[s]), jnp.asarray(clip.u[s]),
+                    jnp.asarray(clip.v[s]), lh, lw,
+                    out_h=th, out_w=tw, resize=need_resize)
+        else:
+            src_rgb = frames_rgb
+
+            def put(i):
+                s = slice(starts[i], starts[i] + piece)
+                return resize_rgb(jnp.asarray(src_rgb[s]), lh, lw,
+                                  out_h=th, out_w=tw)
+    else:
+        put = lambda i: jnp.asarray(frames_rgb[starts[i] : starts[i] + piece])
     if device_resident:
         # all transfers dispatched up front; they stream while compute runs
         pieces = [put(i) for i in range(len(starts))]
