@@ -129,12 +129,13 @@ def main():
     # probe between children and exit rc=2 the moment the tunnel dies so
     # the recovery watcher can re-enter its probe loop instead of letting
     # each remaining child eat its full 50-min timeout.
-    results = {"frames": frames, "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+    results = {"frames": frames, "round": 5,
+               "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     if not fresh and os.path.exists(OUT):
         try:
             with open(OUT) as f:
                 prev = json.load(f)
-            if prev.get("frames") == frames:
+            if prev.get("frames") == frames and prev.get("round") == 5:
                 results.update({k: v for k, v in prev.items()
                                 if k not in ("ts",)})
                 done = [k for k, v in results.items()
@@ -159,52 +160,23 @@ def main():
         results[key] = run_child(name, env_extra, frames, timeout=timeout)
         save()
 
-    measure("baseline", "baseline", {})
-    # realistic content runs ~2.5x slower than synthetic (BENCH_r3_g);
-    # its synced split shows which stage pays for real-content corpora
-    measure("city", "city upscaled", {"PB_CONTENT": "city"}, timeout=4800)
-    measure("ivf", "ivf knn", {"PB_SETTINGS": "knn_backend=ivf"})
-    measure("ivf_p16", "ivf knn P=16",
-            {"PB_SETTINGS": "knn_backend=ivf,ivf_probes=16"})
-    measure("motion_d48", "motion rank dims 48",
-            {"PB_SETTINGS": "motion_rank_dims=48"})
-    # r=6 -> 108 dims: under one 128-lane tile (192 occupies 1.5); the
-    # d48 child measured slower from sub-128 padding, 108 pads only 16%
-    measure("motion_d108", "motion rank dims 108",
-            {"PB_SETTINGS": "motion_rank_dims=108"})
-    # halve the EPU candidate list (the re-rank is the largest reconstruct
-    # block); the combo filter's psnr/bytes gates decide if quality holds
-    measure("epu_k32", "EPU knn k=32", {"PB_SETTINGS": "epu_knn_k=32"})
-    measure("kmeans_i12", "kmeans 12 iters",
-            {"PB_SETTINGS": "kmeans_iters=12"})
-    # halo-blocked motion rank is the r4 default (bit-identical output;
-    # removes the 0.4 GB/frame shift stack) — this child REVERTS it so
-    # the unattended run proves the new default is not a regression
-    measure("motion_halo_off", "motion halo off (old full stack)",
-            {"TILER_TPU_MOTION_BM": "0"})
-    measure("motion_bm16", "motion halo BM=16", {"TILER_TPU_MOTION_BM": "16"})
-    # two-stage EPU (int8 low-freq G + int16 Q rank, exact top-M): Gi /8,
-    # Qi /2 — 99.3% winner agreement at CIF/256 (scripts/ab_epu_lowrank)
-    measure("epu_2s", "two-stage EPU", {"PB_SETTINGS": "epu_two_stage=1"})
-    measure("epu_2s_k32", "two-stage EPU + k=32",
-            {"PB_SETTINGS": "epu_two_stage=1,epu_knn_k=32"})
-    # M=16 was the r4 battery's quality failure (-0.47 dB via the
-    # tie-collapse toward popular tile ids); M=32 measured at-or-better
-    # than the full bf16 rank per cell (agreement 99.83%, max exact-err
-    # delta +0.000% at CIF/1024/k=64 — scripts/ab_epu_lowrank.py), so
-    # only the fps question remains
-    measure("epu_2s_m32", "two-stage EPU M=32",
-            {"PB_SETTINGS": "epu_two_stage=1,epu_stage1_m=32"})
-    # VERDICT r2 #1 asks for PSNR "within 0.3 dB of r02 at equal corpus
-    # size": r02's 115,537-tile corpus was the tie-block overshoot bug
-    # (2x the derived budget), so pin its corpus explicitly and show the
-    # fixed rate control reaches at least r02's quality there
-    measure("corpus_r02", "corpus pinned at r02's 115537",
-            {"PB_SETTINGS": "global_tiling_tile_count=115537"})
-    if not quick:
-        for blk in (2048, 4096):
-            measure(f"tk_blk_{blk}", f"tk blk {blk}",
-                    {"TILER_TPU_TK_BLK": str(blk)})
+    # ---- round-5 battery. Closed r4 questions (ivf, motion dims,
+    # two-stage EPU, tk widths, halo BM, kmeans iters, corpus pin) are
+    # NOT re-measured — their verdicts are in docs/PERF.md.
+    measure("baseline", "baseline (r5: knn v2 kernel)", {})
+    # realistic content: CIF shipped over h2d, device Lanczos upscale
+    # (r5 device ingest) — load should drop from ~1.0 s to ~0.15 s/16f
+    measure("city", "city device-upscaled", {"PB_CONTENT": "city"},
+            timeout=4800)
+    # REVERT child: the r4 knn kernel — proves the v2 folded kernel's
+    # win (or catches a regression) within one tunnel window
+    measure("knn_v1", "knn kernel v1 (revert)",
+            {"PB_SETTINGS": "knn_backend=pallas_v1"})
+    # compact EPU tables: int8 G + int16 Q exact-fold one-stage rank
+    # (the r4 epu_int8_tables scheme whose fps was never cleanly
+    # measured; roofline r5 says the Gi/Qi gathers are the EPU's wall)
+    measure("epu_compact", "EPU compact tables",
+            {"PB_SETTINGS": "epu_compact_tables=1"})
 
     # combo: merge every candidate that beat baseline by >=2% fps without
     # hurting quality (psnr -0.15 dB) or size (+2%), and measure the set
@@ -214,19 +186,7 @@ def main():
     combo_env = {}
     combo_keys = []
     candidates = {
-        "ivf": {"PB_SETTINGS": "knn_backend=ivf"},
-        "ivf_p16": {"PB_SETTINGS": "knn_backend=ivf,ivf_probes=16"},
-        "motion_d48": {"PB_SETTINGS": "motion_rank_dims=48"},
-        "motion_d108": {"PB_SETTINGS": "motion_rank_dims=108"},
-        "epu_k32": {"PB_SETTINGS": "epu_knn_k=32"},
-        "kmeans_i12": {"PB_SETTINGS": "kmeans_iters=12"},
-        "epu_2s": {"PB_SETTINGS": "epu_two_stage=1"},
-        "epu_2s_k32": {"PB_SETTINGS": "epu_two_stage=1,epu_knn_k=32"},
-        "epu_2s_m32": {"PB_SETTINGS": "epu_two_stage=1,epu_stage1_m=32"},
-        "motion_halo_off": {"TILER_TPU_MOTION_BM": "0"},
-        "motion_bm16": {"TILER_TPU_MOTION_BM": "16"},
-        "tk_blk_2048": {"TILER_TPU_TK_BLK": "2048"},
-        "tk_blk_4096": {"TILER_TPU_TK_BLK": "4096"},
+        "epu_compact": {"PB_SETTINGS": "epu_compact_tables=1"},
     }
     if base.get("fps"):
         passing = []

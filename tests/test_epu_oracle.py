@@ -201,3 +201,43 @@ def test_epu_two_stage_end_to_end(tmp_path):
     base_psnr = run(False)
     ts_psnr = run(True)
     assert ts_psnr >= base_psnr - 0.5, (base_psnr, ts_psnr)
+
+
+def test_epu_compact_tables_agreement():
+    """Compact int8-G/int16-Q rank tables (settings.epu_compact_tables)
+    must agree with the full bf16 rank on decisive cells; exact folds
+    mean the only divergence source is the tables' own rounding."""
+    rng = np.random.RandomState(11)
+    B, kk, kp, T, P, S = 32, 8, 6, 60, 12, 16
+    pp = rng.randint(0, S, (T, 8, 8)).astype(np.uint8)
+    palettes = rng.randint(0, 256, (P, S, 3)).astype(np.uint8)
+    cells = []
+    for b in range(B):
+        rgb = palettes[rng.randint(P)][pp[rng.randint(T)]].astype(np.int32)
+        cells.append(np.clip(rgb + rng.randint(-8, 9, rgb.shape), 0, 255))
+    feats = np.stack([_oracle_features(c) for c in cells]).astype(np.float32)
+
+    cand_idx = np.sort(rng.randint(0, T, (B, kk)).astype(np.int32), 1)
+    cand_pal = np.sort(rng.randint(0, P, (B, kp)).astype(np.int32), 1)
+    pal_yuv = np.asarray(rgb_to_yuv(jnp.asarray(palettes, jnp.float32)))
+
+    Gf = R._indicator_dcts(pp, S)
+    G = Gf.astype(jnp.bfloat16)
+    t0, p0, _ = R._epu_rank_all(
+        jnp.asarray(feats), jnp.asarray(cand_idx), jnp.asarray(cand_pal),
+        G, jnp.asarray(pal_yuv), S, cell_chunk=16)
+    G8, g_inv, Q16, q_inv = R._build_two_stage_tables(Gf, S, 192)
+    t1, p1, _ = R._epu_rank_all(
+        jnp.asarray(feats), jnp.asarray(cand_idx), jnp.asarray(cand_pal),
+        G8, jnp.asarray(pal_yuv), S, cell_chunk=16,
+        Q=Q16, g_inv=g_inv, q_inv=q_inv)
+    e0 = np.asarray(R._exact_choice_err(
+        jnp.asarray(feats), t0, p0, jnp.asarray(pp), jnp.asarray(palettes)))
+    e1 = np.asarray(R._exact_choice_err(
+        jnp.asarray(feats), t1, p1, jnp.asarray(pp), jnp.asarray(palettes)))
+    agree = np.mean((np.asarray(t0) == np.asarray(t1))
+                    & (np.asarray(p0) == np.asarray(p1)))
+    assert agree >= 0.85, agree
+    # where selections differ, the compact winner's EXACT error must be
+    # within ranking-rounding of the full rank's choice
+    assert np.all(e1 <= e0 * 1.05 + 200.0), (e1 - e0).max()

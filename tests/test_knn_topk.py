@@ -74,3 +74,57 @@ def test_topk_recall_wide_corpus():
     want = np.argsort(d, axis=1)[:, :k]
     recall = np.mean([len(set(idx[i]) & set(want[i])) / k for i in range(N)])
     assert recall >= 0.9, recall
+
+
+# ---- v2 (fully-folded matmul) kernel --------------------------------------
+
+def _true_dist(feats, ds):
+    f = feats.astype(np.float64)
+    d = ds.astype(np.float64)
+    return (
+        np.sum(f * f, 1)[:, None]
+        - 2.0 * f @ d.T
+        + np.sum(d * d, 1)[None, :]
+    )
+
+
+def test_v2_k1_exact():
+    from tiler_tpu.kernels.knn_topk import knn_bucket_topk2, knn_prep2
+
+    rng = np.random.default_rng(3)
+    N, T = 64, SB * TB
+    feats = rng.normal(0, 100, (N, 192)).astype(np.float32)
+    ds = rng.normal(0, 100, (T, 192)).astype(np.float32)
+    dsTa = knn_prep2(jnp.asarray(ds), T)
+    idx, err = knn_bucket_topk2(jnp.asarray(feats), dsTa, 1)
+    idx = np.asarray(idx)[:, 0]
+    d = _true_dist(np.asarray(jnp.asarray(feats, jnp.bfloat16), np.float64),
+                   np.asarray(jnp.asarray(ds, jnp.bfloat16), np.float64))
+    want = np.argmin(d, axis=1)
+    assert (idx == want).mean() >= 0.95  # bf16/fold-limb near-ties
+    got = d[np.arange(N), idx]
+    best = d[np.arange(N), want]
+    assert np.all(got <= best + np.abs(best) * 2e-2 + 1.0)
+    # err is the TRUE squared distance (15-bit ranking mantissa)
+    e = np.asarray(err)[:, 0]
+    assert np.all(e >= 0)
+    assert np.allclose(e, best, rtol=3e-3, atol=1.0)
+
+
+def test_v2_topk_recall_and_padding():
+    from tiler_tpu.kernels.knn_topk import knn_bucket_topk2, knn_prep2
+
+    rng = np.random.default_rng(4)
+    N, T, k = 16, 2 * SB * TB - 100, 4  # exercises corpus padding
+    feats = rng.normal(0, 50, (N, 192)).astype(np.float32)
+    ds = rng.normal(0, 50, (T, 192)).astype(np.float32)
+    dsTa = knn_prep2(jnp.asarray(ds), 2 * SB * TB)
+    idx, err = knn_bucket_topk2(jnp.asarray(feats), dsTa, k)
+    idx = np.asarray(idx)
+    err = np.asarray(err)
+    assert np.all(np.diff(err, axis=1) >= -1e-3)
+    assert idx.max() < T  # padded rows (d2=1e30) never selected
+    d = _true_dist(feats, ds)
+    want = np.argsort(d, axis=1)[:, :k]
+    recall = np.mean([len(set(idx[i]) & set(want[i])) / k for i in range(N)])
+    assert recall >= 0.9, recall

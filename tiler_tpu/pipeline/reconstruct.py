@@ -320,7 +320,7 @@ def _epu_rank_two_stage(feats, cand_idx, cand_pal, G8lf, g_inv, Q16, q_inv,
 
 @functools.partial(jax.jit, static_argnames=("S", "cell_chunk"))
 def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int,
-                  Q=None):
+                  Q=None, g_inv=None, q_inv=None):
     """Cartesian re-rank over all cells via a scan over cell chunks.
 
     feats [B, 192]; cand_idx/cand_pal [B, kk] sorted ascending; G [T,64,S];
@@ -334,7 +334,18 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
     products Rall (precomputed once, gathered per cell) — two accumulating
     einsums, NO concat (an A=[Qi,C] concat forced ~20ms/frame of XLA
     layout copies; the err matmul itself is ~3ms), nothing per-pair larger
-    than [chunk, kk, kp] materialized."""
+    than [chunk, kk, kp] materialized.
+
+    Compact-table mode (settings.epu_compact_tables; g_inv/q_inv set):
+    G is int8 with per-DCT-coefficient scales and Q int16 with per-column
+    scales (built by _build_two_stage_tables at dims=192 — the full
+    coefficient set, NOT the r4 two-stage low-frequency funnel). The
+    scales fold EXACTLY into ftw resp. Rall, so the only loss is the
+    tables' own rounding; the r5 roofline measured the Gi/Qi gathers —
+    the EPU's binding resource — at half the bytes. The r4 battery
+    measured this table scheme quality-parity at bench settings
+    (PERF.md epu_int8_tables: -0.00 dB, +0.4%% bytes; its fps was never
+    cleanly measured, which is why it returns for the r5 battery)."""
     B, kk = cand_idx.shape
     kp = cand_pal.shape[1]
     w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
@@ -347,6 +358,8 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
     # ~5ms/frame layout copies)
     Pc = pal_yuv.transpose(0, 2, 1)  # [P, 3, S]
     Rall = (Pc[..., tri_i] * Pc[..., tri_j]).reshape(pal_yuv.shape[0], -1)
+    if q_inv is not None:
+        Rall = Rall * q_inv[None, :]  # exact int16-Q dequant fold
     nch = -(-B // cell_chunk)
     Bp = nch * cell_chunk
     featsp = jnp.pad(feats, ((0, Bp - B), (0, 0)))
@@ -357,14 +370,20 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
         f = jax.lax.dynamic_slice(featsp, (i * cell_chunk, 0), (cell_chunk, K))
         ci = jax.lax.dynamic_slice(cip, (i * cell_chunk, 0), (cell_chunk, kk))
         cp = jax.lax.dynamic_slice(cpp, (i * cell_chunk, 0), (cell_chunk, kp))
-        Gi = G[ci]  # [b, kk, 64, S] (bf16: ranking only — winners get an
-        # exact fp32 re-evaluation in _knn_phase)
+        Gi = G[ci]  # [b, kk, 64, S] (bf16/int8: ranking only — winners
+        # get an exact fp32 re-evaluation in _knn_phase)
+        if Gi.dtype != jnp.bfloat16:
+            Gi = Gi.astype(jnp.bfloat16)  # int8 -> bf16 exact at +-127
         ftw = f.reshape(-1, 3, 64).transpose(0, 2, 1) * wf[None]  # [b, 64, 3]
+        if g_inv is not None:
+            ftw = ftw * g_inv[None, :, None]  # exact int8-G dequant fold
         C = jnp.einsum("bkvs,bvc->bksc", Gi, ftw.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)  # [b, kk, S, 3]
         Py = pal_yuv[cp]  # [b, kp, S, 3] f32
         Rj = Rall[cp]  # [b, kp, 3*ntri] f32
-        Qi = Q[ci]  # [b, kk, 3*ntri] f32 (triangle-packed, see _tile_quad)
+        Qi = Q[ci]  # [b, kk, 3*ntri] f32/int16 (triangle-packed)
+        if Qi.dtype != jnp.float32:
+            Qi = Qi.astype(jnp.float32)  # int16 gather, f32 on VPU
         # HIGH (bf16_3x) keeps ~f32 mantissa in the norm expansion, whose
         # cancellation (quad ~ 1e7, gaps ~ 1e3) would otherwise lose
         # ranking order; the matmul FLOPs are negligible next to gathers
@@ -400,7 +419,7 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
 )
 def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
                     kk: int, pal_k: int, S: int, cell_chunk: int,
-                    epu: bool, int16: bool, pallas_topk: bool = False,
+                    epu: bool, int16: bool, pallas_topk: str = "",
                     ivf=None, ivf_probes: int = 8, g_inv=None,
                     q_inv=None, stage1_dims: int = 0, stage1_m: int = 16):
     """Phase A for ALL frames in one device program (lax.map runs frames
@@ -415,7 +434,7 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
     Tpad = 256
     while Tpad < T:
         Tpad *= 2
-    if pallas_topk:
+    if pallas_topk == "v1":
         from ..kernels.knn_topk import knn_bucket_topk, TB
 
         # pad to the kernel's natural SB*TB=4096 granularity (<=4% waste;
@@ -428,6 +447,10 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
         d2p = jnp.sum(dsp * dsp, axis=1) + jnp.where(
             jnp.arange(Tp) < T, 0.0, 1e30
         )
+    elif pallas_topk:
+        from ..kernels.knn_topk import knn_bucket_topk2, knn_prep2
+
+        dsTa = knn_prep2(dsj, -(-T // 4096) * 4096)
 
     def per_frame(tiles_f):
         feats = tile_features_raster(tiles_f.astype(jnp.float32))  # [N, 192]
@@ -437,8 +460,10 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
             from .ivf import ivf_topk
 
             idx, err = ivf_topk(feats, ivf, kk, probes=ivf_probes)
-        elif pallas_topk:
+        elif pallas_topk == "v1":
             idx, err = knn_bucket_topk(feats, dsT, d2p, kk)
+        elif pallas_topk:
+            idx, err = knn_bucket_topk2(feats, dsTa, kk)
         else:
             idx, err = _topk_oneshot(feats, dsj, kk, Tpad)
         if not epu:
@@ -461,7 +486,7 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
             cand_pal = pal_initial[idx[:, :pal_k]]
             t, p, _ = _epu_rank_all(
                 feats, cand_idx, cand_pal, G, pal_yuv, S,
-                cell_chunk=cell_chunk, Q=Q,
+                cell_chunk=cell_chunk, Q=Q, g_inv=g_inv, q_inv=q_inv,
             )
             exact = _exact_choice_err(feats, t, p, pp, palettes, int16=int16)
         # pack (tile, pal) into one word + err bits: [2, N] i32 halves the
@@ -540,15 +565,18 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
     from ..kernels.knn_topk import TB as _TB
 
     # fused kernel beats approx_max_k at k>1 (19 vs 21 ms/frame at bench
-    # shapes, finer 14-bit ranking mantissa vs bf16, deterministic
+    # shapes, finer 14/15-bit ranking mantissa vs bf16, deterministic
     # low-index tie-break); k=1 keeps the cheaper XLA argmin. Needs a
     # corpus much wider than kk buckets so bucket top-2s cover the top-kk.
-    pallas_topk = (
-        jax.default_backend() not in ("cpu",)
-        and kk > 1
-        and T >= 2 * kk * _TB
-        and settings.knn_backend == "pallas"
-    )
+    # "pallas" = the v2 fully-folded kernel (every distance term inside
+    # the matmul, ~6 VPU ops/elem — roofline r5); "pallas_v1" keeps the
+    # r4 kernel selectable for A/Bs.
+    pallas_topk = ""
+    if (jax.default_backend() not in ("cpu",)
+            and kk > 1
+            and T >= 2 * kk * _TB
+            and settings.knn_backend in ("pallas", "pallas_v1")):
+        pallas_topk = "v1" if settings.knn_backend == "pallas_v1" else "v2"
     # IVF two-level corpus search (pipeline/ivf.py): approximate like
     # the reference's ANN kd-trees (extern.pas:182-185); needs a corpus
     # large enough that block-probing beats one matmul
@@ -558,7 +586,7 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
         from .ivf import build_ivf
 
         ivf_state = build_ivf(dsj)
-        pallas_topk = False
+        pallas_topk = ""
     g_inv = None
     q_inv = None
     stage1_dims = 0
@@ -575,6 +603,14 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
             G, g_inv, Q, q_inv = _build_two_stage_tables(
                 Gf, settings.palette_size, settings.epu_stage1_dims)
             stage1_dims = settings.epu_stage1_dims
+        elif settings.epu_compact_tables:
+            # one-stage compact tables: the SAME int8-G/int16-Q scheme at
+            # dims=192 (full coefficient set), ranked by _epu_rank_all
+            # with the scales folded exactly — no stage-2 exact re-rank
+            # (the r4 two-stage loss was stage 2's per-pair renders, not
+            # the tables; see PERF.md epu_2s_m32 verdict)
+            G, g_inv, Q, q_inv = _build_two_stage_tables(
+                Gf, settings.palette_size, 192)
         else:
             # (a one-stage int8 G table variant — per-DCT-coefficient
             # scales, coherent Q — lived here through r4's A/B battery;
@@ -679,7 +715,7 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
             # matmul, no top-k/EPU): phase B then compares a real knn error
             # against the drifted prediction instead of never switching —
             # recovers most of the compaction's PSNR at ~6 ms/frame
-            jobs.append((sel_cheap, run_cells(sel_cheap, 1, 1, False, False)))
+            jobs.append((sel_cheap, run_cells(sel_cheap, 1, 1, False, "")))
 
         # device-side scatter keeps the [F, N] fields ON DEVICE for phase
         # B (the previous host round-trip pulled ~2.7 MB and re-uploaded
