@@ -64,6 +64,7 @@ def synthetic_clip(F, H, W, seed=0):
 
 
 DEMO_GTM = "/root/reference/docs/demo/city_cif.gtm"
+DEMO_GTM_MKF = "/root/reference/docs/demo/football_cif.gtm"
 
 
 def realistic_clip(F):
@@ -87,6 +88,29 @@ def realistic_clip(F):
             break
         frames.append(fr[..., :3])
     return np.stack(frames)  # [F, 288, 352, 3] uint8
+
+
+def multikf_clip(F):
+    """Multi-keyframe realistic bench input (VERDICT r04 #4): the
+    reference's own football_cif demo (3 keyframes in 260 frames) decoded
+    at source resolution, with the REFERENCE's keyframe starts passed as
+    manual keyframes so the bench point always measures the multi-KF
+    machinery (KF-parallel phase B, per-KF streamed save) regardless of
+    where the correlation rule would cut. Returns (frames, kf_list) or
+    (None, None)."""
+    if not os.path.exists(DEMO_GTM_MKF):
+        return None, None
+    from tiler_tpu.bitstream.gtm import GTMDecoder, GTMReader
+    g = GTMReader.read(DEMO_GTM_MKF)
+    kf_starts = [0] + [i + 1 for i, e in enumerate(g.keyframe_end)
+                       if e and i + 1 < F]
+    dec = GTMDecoder(DEMO_GTM_MKF)
+    frames = []
+    for i, fr in enumerate(dec.decode_frames()):
+        if i >= F:
+            break
+        frames.append(fr[..., :3])
+    return np.stack(frames), sorted(set(kf_starts))
 
 
 def main():
@@ -223,6 +247,48 @@ def main():
             "psnr_hvs_db": round(enc3.state.total_psnr, 3),
             "bytes": enc3.stats.total_bytes,
             "steady_steps_s": rsteps,
+        }
+
+    # multi-keyframe realistic point (VERDICT r04 #4): football demo at
+    # the reference's own 3-KF segmentation, device-upscaled. Measures
+    # KF-parallel phase B + the streamed per-KF save on >1 keyframe.
+    result["realistic_multikf"] = None
+    MF = int(os.environ.get("TILER_BENCH_MKF_FRAMES", 80))
+    mkf, kfs = multikf_clip(MF)
+    if mkf is not None and len(kfs) >= 2:
+        def run_mkf(enc):
+            enc.load_frames(mkf, fps=25.0, manual_keyframes=kfs,
+                            resample_to=(H, W))
+            enc.run_all(out_path=out)
+            return enc
+
+        enc5 = run_mkf(Encoder(settings, log=lambda *a: None))  # warmup
+        mwalls = []
+        for i in range(3):
+            t0 = time.time()
+            enc5 = run_mkf(Encoder(settings, log=lambda *a: None))
+            mwalls.append(time.time() - t0)
+            if i >= 1 and max(mwalls) / min(mwalls) < 1.25:
+                break
+        mbest = min(mwalls)
+        os.environ["TILER_TPU_SYNC_STEPS"] = "1"
+        enc6 = run_mkf(Encoder(settings, log=lambda *a: None))
+        del os.environ["TILER_TPU_SYNC_STEPS"]
+        log(f"realistic multi-KF (football x{MF}, {len(kfs)} KFs): "
+            f"{mbest:.1f}s = {MF/mbest:.3f} fps | "
+            f"PSNR-HVS {enc5.state.total_psnr:.2f} dB | "
+            f"{enc5.stats.total_bytes} bytes")
+        result["realistic_multikf"] = {
+            "metric": f"encode_fps_{H}p_realistic_multikf",
+            "content": f"football_cif x{MF} (device-upscaled)",
+            "frames": MF,
+            "n_kf": len(kfs),
+            "fps": round(MF / mbest, 4),
+            "vs_baseline": round(MF / mbest / 30.0, 5),
+            "psnr_hvs_db": round(enc5.state.total_psnr, 3),
+            "bytes": enc5.stats.total_bytes,
+            "steady_steps_s": {k: round(v, 3)
+                               for k, v in enc6.timings.items()},
         }
 
     print(json.dumps(result))

@@ -151,3 +151,72 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---- round-5 candidates (appended after the first battery) ------------
+
+
+def im2row_matmul(frame):
+    """Field as ONE MXU matmul: im2row every window's 64 pixels (64
+    shifted slices — contiguous copies, ~bandwidth), contract against
+    the 2D-DCT basis at HIGH precision, weight, cast bf16, then blockify.
+    The production pass-A/pass-B elementwise accumulation materializes
+    its ~900 MB f32 accumulator repeatedly; here every byte is touched a
+    small constant number of times and the contraction rides the MXU."""
+    from tiler_tpu.pipeline.motion import _dct_basis64
+    yuv = rgb_to_yuv(frame.astype(jnp.float32))
+    HP, WP = mh * 8, mw * 8
+    yuvp = jnp.pad(yuv, ((P, HP + 7 - H - P), (P, WP + 7 - W - P), (0, 0)))
+    X = jnp.stack(
+        [yuvp[y : y + HP, x : x + WP] for y in range(8) for x in range(8)],
+        axis=-2,
+    )  # [HP, WP, 64(y,x), 3]
+    B = jnp.asarray(_dct_basis64())  # [(y,x), (v,u)]
+    F = jnp.einsum("hwxc,xk->hwck", X, B,
+                   precision=jax.lax.Precision.HIGH)  # [HP, WP, 3, 64]
+    w = jnp.asarray(np.asarray(DCT_WEIGHTS, np.float64).reshape(3, 64),
+                    jnp.float32)
+    F = (F * w).reshape(HP, WP, K).astype(jnp.bfloat16)
+    return F.reshape(mh, 8, mw, 8, K).transpose(0, 2, 1, 3, 4).reshape(
+        mh, mw, 64, K)
+
+
+def im2row_matmul_pl(frame):
+    """im2row_matmul with the blockify transpose as a Pallas kernel
+    (sublane-only shuffle per row block; K stays on lanes)."""
+    from tiler_tpu.kernels.blockify import blockify_field
+    from tiler_tpu.pipeline.motion import _dct_basis64
+    yuv = rgb_to_yuv(frame.astype(jnp.float32))
+    HP, WP = mh * 8, mw * 8
+    yuvp = jnp.pad(yuv, ((P, HP + 7 - H - P), (P, WP + 7 - W - P), (0, 0)))
+    X = jnp.stack(
+        [yuvp[y : y + HP, x : x + WP] for y in range(8) for x in range(8)],
+        axis=-2,
+    )
+    B = jnp.asarray(_dct_basis64())
+    F = jnp.einsum("hwxc,xk->hwck", X, B, precision=jax.lax.Precision.HIGH)
+    w = jnp.asarray(np.asarray(DCT_WEIGHTS, np.float64).reshape(3, 64),
+                    jnp.float32)
+    F = (F * w).reshape(HP, WP, K).astype(jnp.bfloat16)
+    return blockify_field(F)
+
+
+def main2():
+    rng = np.random.RandomState(0)
+    frame = jnp.asarray(rng.randint(0, 255, (H, W, 3)).astype(np.uint8))
+    timeit("blocks (production)", jax.jit(blocks), frame)
+    timeit("im2row_matmul", jax.jit(im2row_matmul), frame)
+    try:
+        timeit("im2row_matmul_pl", jax.jit(im2row_matmul_pl), frame)
+    except Exception as e:
+        print("im2row_matmul_pl failed:", str(e)[:300])
+    # agreement check (values, not bits: HIGH matmul vs f32 VPU chain)
+    a = np.asarray(blocks(frame), np.float32)
+    b = np.asarray(im2row_matmul(frame), np.float32)
+    rel = np.abs(a - b).max() / max(1.0, np.abs(a).max())
+    print(f"max rel diff blocks-vs-im2row: {rel:.2e}")
+
+
+if __name__ == "__main__" and "--r5" in sys.argv:
+    main2()
+    sys.exit(0)

@@ -93,8 +93,14 @@ def probe():
     # top): this import runs in the playbook's MAIN process, and a
     # module-level jax import there would wedge us on a dead tunnel —
     # the failure mode the disposable-child probe exists to avoid.
-    assert "jax" not in sys.modules, (
-        "bench.py imported jax at module scope; see its header invariant")
+    # (a sys.modules check is useless here: the axon sitecustomize
+    # imports jax into EVERY interpreter, so scan the source instead)
+    import re
+
+    with open(os.path.join(ROOT, "bench.py")) as f:
+        src = f.read()
+    assert not re.search(r"^(import jax|from jax)", src, re.M), (
+        "bench.py imports jax at module scope; see its header invariant")
     return _tunnel_alive()
 
 

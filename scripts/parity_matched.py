@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Matched-bitrate RD point (VERDICT r04 #6 / BASELINE "within 0.5 dB at
+matched bitrate", readme.md:21).
+
+Bisects GlobalTilingQualityBasedTileCount until OUR stream's header
+bitrate lands within +-1%% of the reference demo stream's own header
+bitrate, then reports the RGB-PSNR/PSNR-HVS of our reconstruction at
+that operating point — for both demo contents.
+
+Honest stand-in (the original y4m sources are stripped from the
+snapshot, .MISSING_LARGE_BLOBS): the input is the reference's DECODED
+frames, so PSNR is measured against the reference's own pictures. At
+bitrate parity, "our encode reproduces the reference's pictures at X dB
+while spending the same bits the reference spent to produce them" is
+the strongest source-free parity statement available; a source-true
+comparison needs the original clips.
+
+Usage: python scripts/parity_matched.py [city football] [--tol 0.01]
+Writes docs/PARITY_MATCHED.json and prints one JSON line per eval.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def encode_point(frames, fps, q, demo_settings):
+    from tiler_tpu.bitstream.gtm import GTMDecoder
+    from tiler_tpu.config import EncoderSettings
+    from tiler_tpu.pipeline.encoder import Encoder
+
+    settings = EncoderSettings(
+        palette_count=demo_settings.get("palette_count", 128),
+        palette_size=16,
+        motion_predict_radius=32,
+        global_tiling_quality_based_tile_count=q,
+        epu_knn_k=64,
+    )
+    enc = Encoder(settings, log=lambda *a: None)
+    t0 = time.time()
+    enc.run_all(frames, fps=fps, out_path="/tmp/parity_m.gtm")
+    wall = time.time() - t0
+    ours = np.stack([f[..., :3]
+                     for f in GTMDecoder("/tmp/parity_m.gtm").decode_frames()])
+    mse = np.mean((ours.astype(np.float64) - frames.astype(np.float64)) ** 2)
+    return {
+        "q": round(q, 4),
+        "bytes": enc.stats.total_bytes,
+        "bps": enc.stats.total_bytes * fps / len(frames),
+        "rgb_psnr_db": round(10 * np.log10(255 * 255 / max(mse, 1e-9)), 3),
+        "psnr_hvs_db": round(enc.state.total_psnr, 3),
+        "encode_s": round(wall, 1),
+    }
+
+
+def match_content(content, tol):
+    from tiler_tpu.bitstream.gtm import GTMDecoder, parse_header
+
+    demo = f"/root/reference/docs/demo/{content}_cif.gtm"
+    header = parse_header(open(demo, "rb").read(4096))
+    ref_bps = header["avg_bytes_per_sec"]
+    frames = np.stack([f[..., :3] for f in GTMDecoder(demo).decode_frames()])
+    fps = 25.0
+    print(f"# {content}: {len(frames)} frames, reference {ref_bps} B/s",
+          flush=True)
+
+    evals = []
+
+    def ev(q):
+        row = encode_point(frames, fps, q, {})
+        row["x_reference"] = round(row["bps"] / ref_bps, 4)
+        evals.append(row)
+        print(json.dumps(row), flush=True)
+        return row
+
+    # bracket: bitrate rises with quality. r4: q=7 -> 0.91x on city.
+    lo_q, hi_q = 5.0, 14.0
+    lo = ev(lo_q)
+    hi = ev(hi_q)
+    assert lo["bps"] < ref_bps, f"q={lo_q} already above reference bitrate"
+    while hi["bps"] < ref_bps:
+        hi_q *= 1.5
+        hi = ev(hi_q)
+    best = min(evals, key=lambda r: abs(r["bps"] - ref_bps))
+    for _ in range(6):
+        if abs(best["bps"] / ref_bps - 1.0) <= tol:
+            break
+        mid_q = 0.5 * (lo_q + hi_q)
+        mid = ev(mid_q)
+        if abs(mid["bps"] / ref_bps - 1.0) < abs(best["bps"] / ref_bps - 1.0):
+            best = mid
+        if mid["bps"] < ref_bps:
+            lo_q = mid_q
+        else:
+            hi_q = mid_q
+    return {
+        "content": content,
+        "ref_bps": ref_bps,
+        "matched": best,
+        "evals": evals,
+    }
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/tiler_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    contents = [a for a in sys.argv[1:] if not a.startswith("--")] or [
+        "city", "football"]
+    tol = 0.01
+    if "--tol" in sys.argv:
+        tol = float(sys.argv[sys.argv.index("--tol") + 1])
+    out = {}
+    for c in contents:
+        out[c] = match_content(c, tol)
+    path = os.path.join(ROOT, "docs", "PARITY_MATCHED.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

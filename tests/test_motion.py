@@ -118,3 +118,40 @@ def test_halo_blocked_rank_matches_unblocked():
     assert np.array_equal(np.asarray(hy), np.asarray(uy))
     assert np.array_equal(np.asarray(hx), np.asarray(ux))
     assert np.array_equal(np.asarray(herr), np.asarray(uerr))
+
+
+def test_window_field_im2row_matches_passes():
+    """The im2row/MXU field formulation (settings.motion_field="im2row")
+    must reproduce the pass-A/pass-B block field up to f32
+    contraction-order rounding, and the full motion search must pick
+    identical winners on non-degenerate content."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tiler_tpu.pipeline.motion import (
+        _window_field_blocks, _window_field_blocks_im2row, motion_search)
+
+    rng = np.random.RandomState(7)
+    H, W = 48, 64
+    yy, xx = np.mgrid[0:H, 0:W]
+    base = ((yy * 5 + xx * 3) % 256).astype(np.int32)
+    frame = np.clip(base[..., None] + rng.randint(-25, 25, (H, W, 3)),
+                    0, 255).astype(np.uint8)
+    P, mh, mw = 16, (H - 7 + 2 * 16 + 7) // 8, (W - 7 + 2 * 16 + 7) // 8
+    mu = jnp.asarray(rng.randn(192).astype(np.float32))
+    Fa, Na = _window_field_blocks(jnp.asarray(frame), mu, P, mh, mw, 192)
+    Fb, Nb = _window_field_blocks_im2row(jnp.asarray(frame), mu, P, mh, mw, 192)
+    a, b = np.asarray(Fa, np.float32), np.asarray(Fb, np.float32)
+    scale = max(1.0, np.abs(a).max())
+    assert np.abs(a - b).max() / scale < 2e-2, "bf16-rounded field mismatch"
+    na, nb = np.asarray(Na), np.asarray(Nb)
+    fin = np.isfinite(na)
+    assert (fin == np.isfinite(nb)).all()
+    assert np.allclose(na[fin], nb[fin], rtol=3e-2)
+
+    cur = np.roll(frame, (3, 5), (0, 1))
+    oy0, ox0, e0 = motion_search(jnp.asarray(cur), jnp.asarray(frame), 8)
+    oy1, ox1, e1 = motion_search(jnp.asarray(cur), jnp.asarray(frame), 8,
+                                 field_impl="im2row")
+    agree = np.mean((np.asarray(oy0) == np.asarray(oy1))
+                    & (np.asarray(ox0) == np.asarray(ox1)))
+    assert agree >= 0.95, agree  # near-ties only

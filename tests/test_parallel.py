@@ -118,9 +118,14 @@ def test_full_pipeline_mesh_vs_meshless(tmp_path):
     f1 = np.stack(GTMDecoder(str(p1)).decode_frames())[..., :3]
     ps0 = _psnr_rgb(f0, clip)
     ps1 = _psnr_rgb(f1, clip)
-    assert abs(ps0 - ps1) < 1.0, f"mesh {ps1:.2f} dB vs meshless {ps0:.2f} dB"
+    # r5-measured envelope (VERDICT r04 #5, docs/DETERMINISM.md): on the
+    # CPU mesh the F=6 and F=8 synthetic encodes came out BYTE-IDENTICAL
+    # (0.0000 dB / 0.000% deltas) — the tight gates below bound the
+    # residual divergence sources (psum sum order, approx-KNN recall
+    # tail) on real multi-chip hardware where reduction order may differ
+    assert abs(ps0 - ps1) <= 0.1, f"mesh {ps1:.2f} dB vs meshless {ps0:.2f} dB"
     b0, b1 = e0.stats.total_bytes, e1.stats.total_bytes
-    assert abs(b0 - b1) < 0.15 * b0, f"bytes {b1} vs {b0}"
+    assert abs(b0 - b1) <= 0.02 * b0, f"bytes {b1} vs {b0}"
 
 
 def test_pipeline_mesh_two_stage_epu(mesh, tmp_path):
@@ -143,3 +148,71 @@ def test_pipeline_mesh_two_stage_epu(mesh, tmp_path):
     frames = GTMDecoder(str(p)).decode_frames()
     assert len(frames) == 6
     assert _psnr_rgb(np.stack(frames)[..., :3], clip) > 20.0
+
+
+def test_motion_dp_bitwise(mesh):
+    """Determinism ledger (docs/DETERMINISM.md): the data-parallel motion
+    path must be BIT-identical to the single-device path — each frame
+    runs the same _motion_core whole; vmap vs lax.map must not change
+    per-frame values."""
+    from tiler_tpu.pipeline.predict import _motion_vmap
+    from tiler_tpu.pipeline.motion import motion_search
+
+    rng = np.random.RandomState(3)
+    cur = rng.randint(0, 255, (4, 48, 64, 3)).astype(np.uint8)
+    prev = rng.randint(0, 255, (4, 48, 64, 3)).astype(np.uint8)
+    oy, ox, err = _motion_vmap(jnp.asarray(cur), jnp.asarray(prev), 8,
+                               False, 192)
+    for f in range(4):
+        oy1, ox1, err1 = motion_search(jnp.asarray(cur[f]),
+                                       jnp.asarray(prev[f]), 8)
+        np.testing.assert_array_equal(np.asarray(oy[f]).reshape(-1),
+                                      np.asarray(oy1).reshape(-1))
+        np.testing.assert_array_equal(np.asarray(ox[f]).reshape(-1),
+                                      np.asarray(ox1).reshape(-1))
+        np.testing.assert_array_equal(np.asarray(err[f]).reshape(-1),
+                                      np.asarray(err1).reshape(-1))
+
+
+def test_sharded_topk_exactness(mesh):
+    """Determinism ledger: the mesh KNN is EXACT — idx sets must equal
+    the float64 brute force (the single-chip path approximates; the mesh
+    path must not add its own error on top)."""
+    rng = np.random.RandomState(4)
+    feats = jnp.asarray(rng.randn(40, 32).astype(np.float32) * 10)
+    ds = jnp.asarray(rng.randn(512, 32).astype(np.float32) * 10)
+    idx, err = sharded_topk(feats, ds, 6, mesh)
+    d2 = (
+        np.sum(np.asarray(feats, np.float64) ** 2, 1, keepdims=True)
+        - 2 * np.asarray(feats, np.float64) @ np.asarray(ds, np.float64).T
+        + np.sum(np.asarray(ds, np.float64) ** 2, 1)[None]
+    )
+    want = np.argsort(d2, axis=1)[:, :6]
+    got = np.asarray(idx)
+    match = np.mean([len(set(got[i]) & set(want[i])) / 6
+                     for i in range(len(got))])
+    assert match >= 0.99, match  # float32-vs-64 near-ties only
+
+
+def test_sharded_lloyd_divergence_envelope(mesh):
+    """Determinism ledger: one sharded Lloyd step may differ from the
+    single-device step ONLY by cross-shard float-sum order — pin the
+    divergence to rounding scale."""
+    rng = np.random.RandomState(5)
+    pts = jnp.asarray(rng.randn(800, 16).astype(np.float32) * 3)
+    w = jnp.asarray(rng.rand(800).astype(np.float32))
+    c0 = jnp.asarray(rng.randn(12, 16).astype(np.float32))
+    got = np.asarray(sharded_lloyd_step(pts, w, c0, mesh))
+
+    # single-device step: the same math as the sharded local fn with the
+    # psum split removed (one global sum order)
+    d2 = (jnp.sum(pts * pts, 1, keepdims=True) - 2.0 * (pts @ c0.T)
+          + jnp.sum(c0 * c0, 1)[None, :])
+    a = jnp.argmin(d2, axis=1)
+    oh = jax.nn.one_hot(a, 12, dtype=pts.dtype) * w[:, None]
+    sums = jnp.einsum("nk,nd->kd", oh, pts, precision="highest")
+    cnts = oh.sum(axis=0)
+    want = np.asarray(jnp.where(
+        cnts[:, None] > 0, sums / jnp.maximum(cnts[:, None], 1e-30), c0))
+    rel = np.abs(got - want).max() / max(1e-9, np.abs(want).max())
+    assert rel <= 1e-5, rel

@@ -117,6 +117,12 @@ class EncoderSettings:
     # quality gate (-0.47 dB tie-collapse), M=32 restores fidelity but
     # measured NO reconstruct win; stays selectable for large-corpus
     # regimes where the gather arithmetic changes.
+    motion_field: str = "passes"  # window-DCT field formulation:
+    # "passes" (r4: shifted elementwise pass A/B in block layout) or
+    # "im2row" (r5: one MXU contraction over the 64 window pixels + the
+    # Pallas blockify relayout — the roofline measured "passes" 10x+ off
+    # its bandwidth floor). Values differ only by f32 contraction-order
+    # rounding in a ranking-only quantity; battery-gated.
     epu_compact_tables: bool = False  # one-stage compact EPU rank
     # tables: int8 G (per-DCT-coefficient scales) + int16 Q (per-column
     # scales), both folded EXACTLY into the per-cell weights / palette
@@ -198,6 +204,7 @@ class EncoderSettings:
         ("TPU", "EpuStage1Dims", "epu_stage1_dims", int),
         ("TPU", "EpuStage1M", "epu_stage1_m", int),
         ("TPU", "DeviceResample", "device_resample", bool),
+        ("TPU", "MotionField", "motion_field", str),
     )
 
     # Settings keys that earlier rounds emitted (so they exist in old

@@ -156,6 +156,58 @@ def _window_field_blocks(frame_rgb, mu, P: int, mh: int, mw: int, dims: int):
     return Fblk, N2blk
 
 
+def _window_field_blocks_im2row(frame_rgb, mu, P: int, mh: int, mw: int,
+                                dims: int):
+    """_window_field_blocks computed as ONE MXU contraction: im2row every
+    window's 64 pixels (64 shifted slices + a ones row — contiguous
+    copies at ~bandwidth), multiply against the weighted 2D-DCT basis
+    with the -mu centering folded into the ones row, cast bf16, then the
+    Pallas blockify relayout (kernels/blockify.py — K stays on lanes, so
+    the permute is sublane-only VMEM movement).
+
+    Replaces the pass-A/pass-B shifted elementwise accumulations, which
+    the r5 roofline measured at ~20-25 ms/720p frame against a ~2 ms
+    bandwidth floor (the ~900 MB f32 accumulator re-materializes per
+    term; every XLA reformulation in scripts/ab_field.py stayed 19-35
+    ms). Values match _window_field_blocks to f32-contraction-order
+    rounding (HIGH-precision matmul vs the VPU f32 add chain) — ranking
+    only; the motion winner's error is recomputed exactly either way."""
+    from ..kernels.blockify import blockify_field
+
+    yuv = rgb_to_yuv(frame_rgb.astype(jnp.float32))
+    H, W = yuv.shape[0], yuv.shape[1]
+    HP, WP = mh * TILE_W, mw * TILE_W
+    yuvp = jnp.pad(yuv, ((P, HP + 7 - H - P), (P, WP + 7 - W - P), (0, 0)))
+    r = 8 if dims == K else _lowfreq_side(dims)
+    # weighted basis with the centering folded in: row 64 is all-ones on
+    # the X side and -mu on the basis side
+    D = np.asarray(DCT_MAT, np.float64)
+    basis = np.einsum("vy,ux->yxvu", D, D).reshape(64, 8, 8)[:, :r, :r]
+    w = np.asarray(DCT_WEIGHTS, np.float64)[:, :r, :r]  # [c, v, u]
+    Bw = np.einsum("xvu,cvu->cxvu", basis, w).reshape(3, 64, r * r)
+    # -mu (a traced per-frame value) rides the ones row of X
+    B3 = jnp.concatenate(
+        [jnp.asarray(Bw, jnp.float32), -mu.reshape(3, r * r)[:, None, :]],
+        axis=1,
+    )  # [3, 65, r*r]
+    X = jnp.stack(
+        [yuvp[y : y + HP, x : x + WP] for y in range(8) for x in range(8)]
+        + [jnp.ones((HP, WP, 3), jnp.float32)],
+        axis=-2,
+    )  # [HP, WP, 65, 3]
+    F = jnp.einsum("hwxc,cxk->hwck", X, B3,
+                   precision=jax.lax.Precision.HIGH)
+    Fblk = blockify_field(
+        F.reshape(HP, WP, dims).astype(jnp.bfloat16))  # [mh, mw, 64, dims]
+    n2 = jnp.sum(Fblk.astype(jnp.float32) * Fblk.astype(jnp.float32), axis=-1)
+    fy = (jnp.arange(mh) * TILE_W)[:, None] + jnp.arange(TILE_W)[None, :] - P
+    fx = (jnp.arange(mw) * TILE_W)[:, None] + jnp.arange(TILE_W)[None, :] - P
+    vy = (fy >= 0) & (fy <= H - TILE_W)
+    vx = (fx >= 0) & (fx <= W - TILE_W)
+    valid = (vy[:, None, :, None] & vx[None, :, None, :]).reshape(mh, mw, 64)
+    return Fblk, jnp.where(valid, n2, jnp.inf)
+
+
 def _lowfreq_side(dims: int) -> int:
     r = int(round((dims / 3) ** 0.5))
     if 3 * r * r != dims:
@@ -215,27 +267,32 @@ def make_penalty(radius: int, P: int) -> np.ndarray:
     )  # [s, q]
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "int16", "rank_dims"))
+@functools.partial(jax.jit,
+                   static_argnames=("radius", "int16", "rank_dims", "field_impl"))
 def motion_search_batch(cur_rgb, prev_rgb, radius: int, int16: bool = False,
-                        rank_dims: int = K):
+                        rank_dims: int = K, field_impl: str = "passes"):
     """Batched motion search over leading frame axis [B, H, W, 3].
 
     lax.map (scan) instead of vmap: the rank core is a Pallas kernel and
     per-frame sequencing also bounds the transient field memory."""
     return jax.lax.map(
-        lambda ab: _motion_core(ab[0], ab[1], radius, int16, rank_dims),
+        lambda ab: _motion_core(ab[0], ab[1], radius, int16, rank_dims,
+                                field_impl=field_impl),
         (cur_rgb, prev_rgb),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "int16", "rank_dims"))
+@functools.partial(jax.jit,
+                   static_argnames=("radius", "int16", "rank_dims", "field_impl"))
 def motion_search(cur_rgb, prev_rgb, radius: int, int16: bool = False,
-                  rank_dims: int = K):
-    return _motion_core(cur_rgb, prev_rgb, radius, int16, rank_dims)
+                  rank_dims: int = K, field_impl: str = "passes"):
+    return _motion_core(cur_rgb, prev_rgb, radius, int16, rank_dims,
+                        field_impl=field_impl)
 
 
 def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False,
-                 rank_dims: int = K, return_windows: bool = False):
+                 rank_dims: int = K, return_windows: bool = False,
+                 field_impl: str = "passes"):
     """Full-frame motion search of cur against prev.
 
     cur_rgb/prev_rgb: [H, W, 3] float or uint8 (H, W multiples of 8).
@@ -288,7 +345,11 @@ def _motion_core(cur_rgb, prev_rgb, radius: int, int16: bool = False,
 
     # window field of previous frame, centered, already in block layout —
     # bf16: ranking only (the winner's error is recomputed exactly below)
-    Fblk_mn, N2blk_mn = _window_field_blocks(prev_rgb, mu, P, mh, mw, KR)
+    if field_impl == "im2row":
+        Fblk_mn, N2blk_mn = _window_field_blocks_im2row(
+            prev_rgb, mu, P, mh, mw, KR)
+    else:
+        Fblk_mn, N2blk_mn = _window_field_blocks(prev_rgb, mu, P, mh, mw, KR)
 
     # XLA hybrid rank. (A fused Pallas rank kernel was built and measured
     # in round 2 but lost to this path: Mosaic cannot lower its batched

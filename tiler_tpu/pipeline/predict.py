@@ -45,12 +45,14 @@ def _frame_chunk(H: int, W: int, budget_bytes: float = 0.0) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "int16", "rank_dims"))
-def _motion_packed(cur, prev, radius: int, int16: bool, rank_dims: int):
+def _motion_packed(cur, prev, radius: int, int16: bool, rank_dims: int,
+                   field_impl: str = "passes"):
     """motion_search_batch + PSNR, packed into ONE i32 array so the host
     pulls a single minimal transfer (each d2h costs a tunnel round-trip
     and bad tunnel windows move bytes at ~25 MB/s): offsets fit 16 bits
     each in word 0; word 1 is the PSNR's f32 bits."""
-    oy, ox, err = motion_search_batch(cur, prev, radius, int16, rank_dims)
+    oy, ox, err = motion_search_batch(cur, prev, radius, int16, rank_dims,
+                                      field_impl=field_impl)
     B = oy.shape[0]
     offs = ((oy.reshape(B, -1) + 32768) << 16) | (ox.reshape(B, -1) + 32768)
     psnr_bits = jax.lax.bitcast_convert_type(
@@ -97,7 +99,7 @@ def predict_motion(state: EncodeState, settings: EncoderSettings,
                 prev = jnp.concatenate([prev, pad])
             outs.append(_motion_packed(
                 fp, prev, R, settings.int16_features,
-                settings.motion_rank_dims,
+                settings.motion_rank_dims, settings.motion_field,
             )[:, :b])
             # dispatch this piece's tile pass BEHIND its motion program:
             # interleaving keeps every program's h2d dependency at piece
@@ -113,6 +115,7 @@ def predict_motion(state: EncodeState, settings: EncoderSettings,
             outs.append(_motion_packed(
                 jnp.asarray(frames[i:j]), jnp.asarray(frames[refs[i:j]]), R,
                 settings.int16_features, settings.motion_rank_dims,
+                settings.motion_field,
             ))
     packed_dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     # dispatch Reduce's tile hashes now (they only need the canonical
