@@ -44,7 +44,8 @@ def _frame_chunk(H: int, W: int, budget_bytes: float = 0.0) -> int:
     return max(1, int(budget_bytes / per_frame))
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "int16", "rank_dims"))
+@functools.partial(jax.jit,
+                   static_argnames=("radius", "int16", "rank_dims", "field_impl"))
 def _motion_packed(cur, prev, radius: int, int16: bool, rank_dims: int,
                    field_impl: str = "passes"):
     """motion_search_batch + PSNR, packed into ONE i32 array so the host
@@ -167,7 +168,8 @@ def _predict_motion_dp(state, settings, mesh, frames, refs, R):
     cur = jax.device_put(jnp.asarray(np.asarray(frames)[idxs]), sharding)
     prev = jax.device_put(jnp.asarray(np.asarray(frames)[refs[idxs]]), sharding)
     oy, ox, err = _motion_vmap(cur, prev, R, settings.int16_features,
-                               settings.motion_rank_dims)
+                               settings.motion_rank_dims,
+                               settings.motion_field)
     tm = state.tilemap
     tm.pred_y[:] = np.asarray(oy).reshape(Fp, N)[:F]
     tm.pred_x[:] = np.asarray(ox).reshape(Fp, N)[:F]
@@ -175,10 +177,13 @@ def _predict_motion_dp(state, settings, mesh, frames, refs, R):
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "int16", "rank_dims"))
-def _motion_vmap(cur, prev, radius: int, int16: bool, rank_dims: int):
+@functools.partial(jax.jit,
+                   static_argnames=("radius", "int16", "rank_dims", "field_impl"))
+def _motion_vmap(cur, prev, radius: int, int16: bool, rank_dims: int,
+                 field_impl: str = "passes"):
     from .motion import _motion_core
 
     return jax.vmap(
-        lambda a, b: _motion_core(a, b, radius, int16, rank_dims)
+        lambda a, b: _motion_core(a, b, radius, int16, rank_dims,
+                                  field_impl=field_impl)
     )(cur, prev)
