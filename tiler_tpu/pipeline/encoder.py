@@ -316,7 +316,8 @@ class Encoder:
                 if isinstance(v, jax.Array):
                     arrs.append(v)
                 elif isinstance(v, (list, tuple)):  # _ingest_pieces
-                    arrs.extend(jax.tree_util.tree_leaves(v))
+                    arrs.extend(x for x in jax.tree_util.tree_leaves(v)
+                                if isinstance(x, jax.Array))
             jax.block_until_ready(arrs)
             # axon lazy-queue rule: block_until_ready does NOT flush
             # queued h2d transfers — a step whose output is a freshly
