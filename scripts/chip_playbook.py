@@ -183,6 +183,11 @@ def main():
     # measured; roofline r5 says the Gi/Qi gathers are the EPU's wall)
     measure("epu_compact", "EPU compact tables",
             {"PB_SETTINGS": "epu_compact_tables=1"})
+    # im2row/MXU window field + Pallas blockify (the roofline's worst
+    # block rebuilt); values differ from "passes" only by contraction-
+    # order rounding in a ranking-only quantity — quality gates decide
+    measure("field_im2row", "motion field im2row",
+            {"PB_SETTINGS": "motion_field=im2row"})
 
     # combo: merge every candidate that beat baseline by >=2% fps without
     # hurting quality (psnr -0.15 dB) or size (+2%), and measure the set
@@ -193,6 +198,7 @@ def main():
     combo_keys = []
     candidates = {
         "epu_compact": {"PB_SETTINGS": "epu_compact_tables=1"},
+        "field_im2row": {"PB_SETTINGS": "motion_field=im2row"},
     }
     if base.get("fps"):
         passing = []
