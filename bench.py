@@ -67,6 +67,30 @@ DEMO_GTM = "/root/reference/docs/demo/city_cif.gtm"
 DEMO_GTM_MKF = "/root/reference/docs/demo/football_cif.gtm"
 
 
+def synthetic_clip_420(F, H, W, seed=0):
+    """The synthetic clip as a 4:2:0 PlanarClip — the shape every real
+    video ingest has (y4m / yuv420p sources ship raw planes; the device
+    does chroma upsample + YUV->RGB, ops/resample.py). h2d volume drops
+    44 -> 22 MB/16f. Reported as a SEPARATE bench point: the chroma
+    subsample changes content, so the headline RGB point stays
+    comparable across rounds."""
+    rgb = synthetic_clip(F, H, W, seed).astype(np.float32)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = (b - y) / 2.03211 + 128.0
+    v = (r - y) / 1.13983 + 128.0
+    yq = np.clip(np.round(y), 0, 255).astype(np.uint8)
+    # box-average 2x2 chroma subsample
+    uq = np.clip(np.round(
+        u.reshape(F, H // 2, 2, W // 2, 2).mean((2, 4))), 0, 255
+    ).astype(np.uint8)
+    vq = np.clip(np.round(
+        v.reshape(F, H // 2, 2, W // 2, 2).mean((2, 4))), 0, 255
+    ).astype(np.uint8)
+    from tiler_tpu.io.video import PlanarClip
+    return PlanarClip(yq, uq, vq, 25.0)
+
+
 def realistic_clip(F):
     """Real-content bench input: the reference's own city_cif demo
     decoded at SOURCE resolution. VERDICT r02 weak #8: the synthetic
@@ -201,6 +225,33 @@ def main():
         "tunnel_h2d_mbps": h2d_mbps,
         "psnr_hvs_db": round(enc.state.total_psnr, 3),
         "bytes": enc.stats.total_bytes,
+    }
+
+    # synthetic 4:2:0 ingest point: same content chroma-subsampled and
+    # shipped as raw planes (the shape every real video source has) —
+    # measures the device-ingest path at bench resolution; the RGB
+    # headline above stays content-comparable across rounds
+    clip420 = synthetic_clip_420(F, H, W)
+    enc420 = Encoder(settings, log=lambda *a: None)
+    enc420.load_frames(clip420, fps=25.0)
+    enc420.run_all(out_path=out)  # warmup
+    walls420 = []
+    for i in range(4):
+        t0 = time.time()
+        enc420 = Encoder(settings, log=lambda *a: None)
+        enc420.load_frames(clip420, fps=25.0)
+        enc420.run_all(out_path=out)
+        walls420.append(time.time() - t0)
+        if i >= 1 and max(walls420) / min(walls420) < 1.25:
+            break
+    log(f"synthetic 4:2:0 planar ingest: {min(walls420):.1f}s = "
+        f"{F/min(walls420):.3f} fps")
+    result["synthetic_420"] = {
+        "metric": f"encode_fps_{H}p_planar420",
+        "fps": round(F / min(walls420), 4),
+        "vs_baseline": round(F / min(walls420) / 30.0, 5),
+        "psnr_hvs_db": round(enc420.state.total_psnr, 3),
+        "bytes": enc420.stats.total_bytes,
     }
 
     # first-class second point: real content (city_cif demo upscaled to
