@@ -550,9 +550,13 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
     # candidate palettes come from the top tiles; capping them at epu_pal_k
     # (palettes of the best-ranked tiles) quarters the cartesian re-rank
     # with negligible quality impact.
-    # cell_chunk bounds the gathered per-chunk operands (Gi + Qi + Rj)
+    # cell_chunk bounds the gathered per-chunk operands (Gi + Qi + Rj);
+    # the compact/two-stage tables halve-or-better the per-cell bytes,
+    # so the chunk grows to match (fewer scan iterations, same footprint)
     ntri3 = 3 * (S * (S + 1) // 2)
-    per_cell = kk * (64 * S * 2 + ntri3 * 4) + pal_k * ntri3 * 4
+    gb = 1 if (settings.epu_compact_tables or settings.epu_two_stage) else 2
+    qb = 2 if (settings.epu_compact_tables or settings.epu_two_stage) else 4
+    per_cell = kk * (64 * S * gb + ntri3 * qb) + pal_k * ntri3 * 4
     cell_chunk = max(64, min(4096, int(3e8 / per_cell)))
 
     pal_initial = jnp.asarray(state.corpus_pal_initial.astype(np.int32))
