@@ -183,6 +183,11 @@ def main():
     # measured; roofline r5 says the Gi/Qi gathers are the EPU's wall)
     measure("epu_compact", "EPU compact tables",
             {"PB_SETTINGS": "epu_compact_tables=1"})
+    # fused single-gather compact table (bit-identical rank values to
+    # epu_compact — tests/test_epu_oracle.py — so this is a pure gather-
+    # row-count A/B on the roofline's row-rate-bound engine)
+    measure("epu_fused", "EPU fused gather",
+            {"PB_SETTINGS": "epu_fused_gather=1"})
     # im2row/MXU window field + Pallas blockify (the roofline's worst
     # block rebuilt); values differ from "passes" only by contraction-
     # order rounding in a ranking-only quantity — quality gates decide
@@ -198,6 +203,7 @@ def main():
     combo_keys = []
     candidates = {
         "epu_compact": {"PB_SETTINGS": "epu_compact_tables=1"},
+        "epu_fused": {"PB_SETTINGS": "epu_fused_gather=1"},
         "field_im2row": {"PB_SETTINGS": "motion_field=im2row"},
     }
     if base.get("fps"):
@@ -220,7 +226,7 @@ def main():
                 return "motion_bm"
             if k.startswith("motion_d"):
                 return "motion_dims"
-            if k.startswith("epu_2s") or k.startswith("epu_k32"):
+            if k.startswith("epu_"):
                 return "epu_tables"  # all reshape the same EPU re-rank
             return k
 

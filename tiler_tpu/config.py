@@ -132,6 +132,14 @@ class EncoderSettings:
     # exact re-rank (the r4 two-stage fps loss was stage 2's renders).
     # Quality measured at bench settings in the r4 battery (as the then
     # epu_int8_tables): -0.00 dB, +0.4% bytes. Battery-gated.
+    epu_fused_gather: bool = False  # fuse the compact Gi/Qi gathers
+    # into ONE int8 gather of concatenated byte-rows (G row bytes +
+    # Q int16 bytes, bitcast on device): the r5 roofline measured the
+    # EPU's gather engine as ROW-RATE-bound (~22-38 M rows/s, locality-
+    # insensitive), so halving the row count at identical bytes is the
+    # remaining structural lever. Implies epu_compact_tables (same
+    # tables, same folds — ranking values are bit-identical to compact
+    # mode by construction). Battery-gated.
     epu_stage1_dims: int = 48  # stage-1 rank dims (3*r^2; 48 -> the
     # 4x4 low-frequency DCT block per channel)
     epu_stage1_m: int = 16  # exact-re-ranked survivors per cell
@@ -201,6 +209,7 @@ class EncoderSettings:
         ("TPU", "IvfMinCorpus", "ivf_min_corpus", int),
         ("TPU", "EpuTwoStage", "epu_two_stage", bool),
         ("TPU", "EpuCompactTables", "epu_compact_tables", bool),
+        ("TPU", "EpuFusedGather", "epu_fused_gather", bool),
         ("TPU", "EpuStage1Dims", "epu_stage1_dims", int),
         ("TPU", "EpuStage1M", "epu_stage1_m", int),
         ("TPU", "DeviceResample", "device_resample", bool),

@@ -350,7 +350,15 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
     kp = cand_pal.shape[1]
     w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
     wf = w.transpose(1, 2, 0).reshape(64, 3)  # [vu, c]
-    if Q is None:
+    # fused compact table (settings.epu_fused_gather): G is the combined
+    # int8 byte-row table [T, 64*S + 2*ntri3] (G int8 bytes ++ Q int16
+    # bytes, bitcast); ONE gather replaces the Gi+Qi pair — the r5
+    # roofline measured the gather engine row-rate-bound, so half the
+    # rows at the same bytes is the lever. Values are bit-identical to
+    # compact mode: the split slices recover the exact same int8/int16
+    # payloads the separate tables hold.
+    fused = G.ndim == 2
+    if Q is None and not fused:
         Q = _tile_quad(G, S)
     tri_i, tri_j = np.triu_indices(S)
     # per-palette outer products at triangle indices: [P, 3*ntri] (1.7MB
@@ -370,10 +378,22 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
         f = jax.lax.dynamic_slice(featsp, (i * cell_chunk, 0), (cell_chunk, K))
         ci = jax.lax.dynamic_slice(cip, (i * cell_chunk, 0), (cell_chunk, kk))
         cp = jax.lax.dynamic_slice(cpp, (i * cell_chunk, 0), (cell_chunk, kp))
-        Gi = G[ci]  # [b, kk, 64, S] (bf16/int8: ranking only — winners
-        # get an exact fp32 re-evaluation in _knn_phase)
-        if Gi.dtype != jnp.bfloat16:
-            Gi = Gi.astype(jnp.bfloat16)  # int8 -> bf16 exact at +-127
+        if fused:
+            GQi = G[ci]  # ONE [b, kk, 64*S + 2*ntri] int8 gather
+            gb = 64 * S
+            Gi = GQi[..., :gb].reshape(
+                cell_chunk, kk, 64, S).astype(jnp.bfloat16)  # exact +-127
+            Qi = jax.lax.bitcast_convert_type(
+                GQi[..., gb:].reshape(cell_chunk, kk, -1, 2), jnp.int16
+            ).astype(jnp.float32)
+        else:
+            Gi = G[ci]  # [b, kk, 64, S] (bf16/int8: ranking only —
+            # winners get an exact fp32 re-evaluation in _knn_phase)
+            if Gi.dtype != jnp.bfloat16:
+                Gi = Gi.astype(jnp.bfloat16)  # int8 -> bf16 exact +-127
+            Qi = Q[ci]  # [b, kk, 3*ntri] f32/int16 (triangle-packed)
+            if Qi.dtype != jnp.float32:
+                Qi = Qi.astype(jnp.float32)  # int16 gather, f32 on VPU
         ftw = f.reshape(-1, 3, 64).transpose(0, 2, 1) * wf[None]  # [b, 64, 3]
         if g_inv is not None:
             ftw = ftw * g_inv[None, :, None]  # exact int8-G dequant fold
@@ -381,9 +401,6 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
                        preferred_element_type=jnp.float32)  # [b, kk, S, 3]
         Py = pal_yuv[cp]  # [b, kp, S, 3] f32
         Rj = Rall[cp]  # [b, kp, 3*ntri] f32
-        Qi = Q[ci]  # [b, kk, 3*ntri] f32/int16 (triangle-packed)
-        if Qi.dtype != jnp.float32:
-            Qi = Qi.astype(jnp.float32)  # int16 gather, f32 on VPU
         # HIGH (bf16_3x) keeps ~f32 mantissa in the norm expansion, whose
         # cancellation (quad ~ 1e7, gaps ~ 1e3) would otherwise lose
         # ranking order; the matmul FLOPs are negligible next to gathers
@@ -554,8 +571,10 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
     # the compact/two-stage tables halve-or-better the per-cell bytes,
     # so the chunk grows to match (fewer scan iterations, same footprint)
     ntri3 = 3 * (S * (S + 1) // 2)
-    gb = 1 if (settings.epu_compact_tables or settings.epu_two_stage) else 2
-    qb = 2 if (settings.epu_compact_tables or settings.epu_two_stage) else 4
+    compactish = (settings.epu_compact_tables or settings.epu_two_stage
+                  or settings.epu_fused_gather)
+    gb = 1 if compactish else 2
+    qb = 2 if compactish else 4
     per_cell = kk * (64 * S * gb + ntri3 * qb) + pal_k * ntri3 * 4
     cell_chunk = max(64, min(4096, int(3e8 / per_cell)))
 
@@ -607,7 +626,7 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
             G, g_inv, Q, q_inv = _build_two_stage_tables(
                 Gf, settings.palette_size, settings.epu_stage1_dims)
             stage1_dims = settings.epu_stage1_dims
-        elif settings.epu_compact_tables:
+        elif settings.epu_compact_tables or settings.epu_fused_gather:
             # one-stage compact tables: the SAME int8-G/int16-Q scheme at
             # dims=192 (full coefficient set), ranked by _epu_rank_all
             # with the scales folded exactly — no stage-2 exact re-rank
@@ -615,6 +634,20 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
             # the tables; see PERF.md epu_2s_m32 verdict)
             G, g_inv, Q, q_inv = _build_two_stage_tables(
                 Gf, settings.palette_size, 192)
+            if settings.epu_fused_gather:
+                # concatenate G's int8 bytes with Q's int16 bytes into one
+                # byte-row table so the per-chunk Gi+Qi gather pair becomes
+                # ONE gather (the r5 roofline: row-rate-bound engine). The
+                # device-side bitcast here and the inverse in
+                # _epu_rank_all are the same XLA op, so the roundtrip is
+                # self-consistent by construction (no endianness
+                # assumption crosses the host boundary).
+                G = jnp.concatenate([
+                    G.reshape(G.shape[0], -1),
+                    jax.lax.bitcast_convert_type(Q, jnp.int8).reshape(
+                        Q.shape[0], -1),
+                ], axis=1)
+                Q = jnp.zeros((1, 1), jnp.int16)  # unused in fused mode
         else:
             # (a one-stage int8 G table variant — per-DCT-coefficient
             # scales, coherent Q — lived here through r4's A/B battery;
@@ -791,6 +824,7 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
             t, p, _ = _epu_rank_all(
                 feats, cand_idx, cand_pal, G, pal_yuv,
                 settings.palette_size, cell_chunk=cell_chunk, Q=Q,
+                g_inv=g_inv, q_inv=q_inv,
             )
             e = _exact_choice_err(feats, t, p, pp_dev, palettes_dev,
                                   int16=settings.int16_features)
