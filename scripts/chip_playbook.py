@@ -188,6 +188,12 @@ def main():
     # row-count A/B on the roofline's row-rate-bound engine)
     measure("epu_fused", "EPU fused gather",
             {"PB_SETTINGS": "epu_fused_gather=1"})
+    # full-precision fused table: same row-count halving, NO quantization
+    # (bit-identical rankings to the default path — the compact variants
+    # measured a -0.26 dB used-tile-shrink in this battery's epu_compact
+    # child, so this is the quality-safe form of the same roofline lever)
+    measure("epu_fused_fp", "EPU fused gather (full precision)",
+            {"PB_SETTINGS": "epu_fused_fp=1"})
     # im2row/MXU window field + Pallas blockify (the roofline's worst
     # block rebuilt); values differ from "passes" only by contraction-
     # order rounding in a ranking-only quantity — quality gates decide
@@ -214,6 +220,7 @@ def main():
     candidates = {
         "epu_compact": {"PB_SETTINGS": "epu_compact_tables=1"},
         "epu_fused": {"PB_SETTINGS": "epu_fused_gather=1"},
+        "epu_fused_fp": {"PB_SETTINGS": "epu_fused_fp=1"},
         "field_im2row": {"PB_SETTINGS": "motion_field=im2row"},
     }
     if base.get("fps"):

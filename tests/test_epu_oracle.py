@@ -279,6 +279,72 @@ def test_epu_fused_gather_bit_identical():
     np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
 
 
+def test_epu_fused_fp_bit_identical():
+    """The FULL-PRECISION fused table (settings.epu_fused_fp) holds the
+    default path's bf16-G/f32-Q rows as int8 bytes in one row — rankings
+    must be bit-identical to the default two-gather path (the bitcast
+    roundtrip is exact; no quantization anywhere)."""
+    import jax
+
+    rng = np.random.RandomState(13)
+    B, kk, kp, T, P, S = 32, 8, 6, 60, 12, 16
+    pp = rng.randint(0, S, (T, 8, 8)).astype(np.uint8)
+    palettes = rng.randint(0, 256, (P, S, 3)).astype(np.uint8)
+    feats = rng.randint(-500, 500, (B, 192)).astype(np.float32)
+    cand_idx = np.sort(rng.randint(0, T, (B, kk)).astype(np.int32), 1)
+    cand_pal = np.sort(rng.randint(0, P, (B, kp)).astype(np.int32), 1)
+    pal_yuv = np.asarray(rgb_to_yuv(jnp.asarray(palettes, jnp.float32)))
+
+    Gb = R._indicator_dcts(pp, S).astype(jnp.bfloat16)
+    Qf = R._tile_quad(Gb, S)
+    t0, p0, e0 = R._epu_rank_all(
+        jnp.asarray(feats), jnp.asarray(cand_idx), jnp.asarray(cand_pal),
+        Gb, jnp.asarray(pal_yuv), S, cell_chunk=16, Q=Qf)
+    GQ = jnp.concatenate([
+        jax.lax.bitcast_convert_type(Gb, jnp.int8).reshape(Gb.shape[0], -1),
+        jax.lax.bitcast_convert_type(Qf, jnp.int8).reshape(Qf.shape[0], -1),
+    ], axis=1)
+    t1, p1, e1 = R._epu_rank_all(
+        jnp.asarray(feats), jnp.asarray(cand_idx), jnp.asarray(cand_pal),
+        GQ, jnp.asarray(pal_yuv), S, cell_chunk=16, Q=None)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+
+
+def test_epu_fused_fp_e2e_pixel_identical(tmp_path):
+    """epu_fused_fp=1 must reproduce the DEFAULT encode pixel-for-pixel
+    (bit-identical rankings -> identical decisions -> identical streams
+    up to the embedded settings text), and round-trip its flag."""
+    from tiler_tpu.bitstream.gtm import GTMDecoder, GTMReader
+    from tiler_tpu.config import EncoderSettings
+    from tiler_tpu.pipeline.encoder import Encoder
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 200, (48, 64, 3)).astype(np.uint8)
+    clip = np.stack([np.roll(base, (2 * f, 3 * f), (0, 1))
+                     for f in range(4)])
+
+    def run(fp):
+        s = EncoderSettings(palette_count=8, palette_size=16,
+                            motion_predict_radius=4, epu_knn_k=8,
+                            kmeans_iters=3, epu_fused_fp=fp,
+                            global_tiling_quality_based_tile_count=4.0)
+        enc = Encoder(s, log=lambda *a: None)
+        p = str(tmp_path / f"fp{int(fp)}.gtm")
+        enc.run_all(clip, fps=25.0, out_path=p)
+        frames = np.stack(GTMDecoder(p).decode_frames())
+        if fp:
+            s2 = EncoderSettings.from_ini(GTMReader.read(p).settings_text)
+            assert s2.epu_fused_fp is True
+        return frames, enc.state.total_psnr
+
+    f0, psnr0 = run(False)
+    f1, psnr1 = run(True)
+    np.testing.assert_array_equal(f0, f1)
+    assert psnr0 == psnr1
+
+
 def test_epu_fused_gather_e2e(tmp_path):
     """epu_fused_gather runs the full pipeline, round-trips through the
     stream-embedded settings, and stays quality-parity with defaults."""

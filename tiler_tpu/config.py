@@ -140,6 +140,15 @@ class EncoderSettings:
     # remaining structural lever. Implies epu_compact_tables (same
     # tables, same folds — ranking values are bit-identical to compact
     # mode by construction). Battery-gated.
+    epu_fused_fp: bool = False  # fuse the DEFAULT full-precision Gi/Qi
+    # gathers into ONE int8 byte-row gather (G bf16 bytes ++ Q f32
+    # bytes, bitcast on device — same row-count halving as
+    # epu_fused_gather but WITHOUT the compact tables' int8/int16
+    # rounding: ranking values are bit-identical to the default path by
+    # construction, tests/test_epu_oracle.py). The r5 battery measured
+    # the compact-table variants shifting quality -0.26 dB (the same
+    # used-tile-shrink the two-stage EPU showed in r4); this keeps the
+    # row-rate lever and drops the rounding. Battery-gated.
     epu_stage1_dims: int = 48  # stage-1 rank dims (3*r^2; 48 -> the
     # 4x4 low-frequency DCT block per channel)
     epu_stage1_m: int = 16  # exact-re-ranked survivors per cell
@@ -210,6 +219,7 @@ class EncoderSettings:
         ("TPU", "EpuTwoStage", "epu_two_stage", bool),
         ("TPU", "EpuCompactTables", "epu_compact_tables", bool),
         ("TPU", "EpuFusedGather", "epu_fused_gather", bool),
+        ("TPU", "EpuFusedFp", "epu_fused_fp", bool),
         ("TPU", "EpuStage1Dims", "epu_stage1_dims", int),
         ("TPU", "EpuStage1M", "epu_stage1_m", int),
         ("TPU", "DeviceResample", "device_resample", bool),

@@ -350,13 +350,14 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
     kp = cand_pal.shape[1]
     w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
     wf = w.transpose(1, 2, 0).reshape(64, 3)  # [vu, c]
-    # fused compact table (settings.epu_fused_gather): G is the combined
-    # int8 byte-row table [T, 64*S + 2*ntri3] (G int8 bytes ++ Q int16
-    # bytes, bitcast); ONE gather replaces the Gi+Qi pair — the r5
+    # fused byte-row tables (ONE gather replaces the Gi+Qi pair — the r5
     # roofline measured the gather engine row-rate-bound, so half the
-    # rows at the same bytes is the lever. Values are bit-identical to
-    # compact mode: the split slices recover the exact same int8/int16
-    # payloads the separate tables hold.
+    # rows is the lever). Two layouts, both bit-identical to their
+    # two-gather parents (the split bitcasts recover the exact payloads):
+    # - settings.epu_fused_gather: compact int8 G ++ int16-Q bytes,
+    #   [T, 64*S + 2*ntri3] (g_inv/q_inv set — the dequant folds);
+    # - settings.epu_fused_fp: DEFAULT bf16-G ++ f32-Q bytes,
+    #   [T, 64*S*2 + 4*ntri3] (g_inv None — full precision, no folds).
     fused = G.ndim == 2
     if Q is None and not fused:
         Q = _tile_quad(G, S)
@@ -378,7 +379,17 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
         f = jax.lax.dynamic_slice(featsp, (i * cell_chunk, 0), (cell_chunk, K))
         ci = jax.lax.dynamic_slice(cip, (i * cell_chunk, 0), (cell_chunk, kk))
         cp = jax.lax.dynamic_slice(cpp, (i * cell_chunk, 0), (cell_chunk, kp))
-        if fused:
+        if fused and g_inv is None:
+            # full-precision fused layout (settings.epu_fused_fp): bf16 G
+            # bytes ++ f32 Q bytes; bitcasts invert the build exactly
+            GQi = G[ci]  # ONE [b, kk, 64*S*2 + 4*ntri] int8 gather
+            gb = 64 * S * 2
+            Gi = jax.lax.bitcast_convert_type(
+                GQi[..., :gb].reshape(cell_chunk, kk, 64, S, 2),
+                jnp.bfloat16)
+            Qi = jax.lax.bitcast_convert_type(
+                GQi[..., gb:].reshape(cell_chunk, kk, -1, 4), jnp.float32)
+        elif fused:
             GQi = G[ci]  # ONE [b, kk, 64*S + 2*ntri] int8 gather
             gb = 64 * S
             Gi = GQi[..., :gb].reshape(
@@ -648,6 +659,26 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
                         Q.shape[0], -1),
                 ], axis=1)
                 Q = jnp.zeros((1, 1), jnp.int16)  # unused in fused mode
+        elif settings.epu_fused_fp:
+            # full-precision fused byte table: the DEFAULT bf16 G and f32
+            # Q rows concatenated as int8 bytes, so the per-chunk Gi+Qi
+            # gather pair becomes ONE gather at the same total bytes —
+            # the r5 roofline's row-rate lever (the gather engine is
+            # row-rate-bound and locality-insensitive) WITHOUT the
+            # compact tables' int8/int16 rounding. The device bitcasts
+            # here and in _epu_rank_all are inverses, so ranking values
+            # are bit-identical to the default path by construction
+            # (g_inv/q_inv stay None — that None-ness is how the rank fn
+            # distinguishes the fp layout from the compact one).
+            Gb = Gf.astype(jnp.bfloat16)
+            Qf = _tile_quad(Gb, settings.palette_size)
+            G = jnp.concatenate([
+                jax.lax.bitcast_convert_type(Gb, jnp.int8).reshape(
+                    Gb.shape[0], -1),
+                jax.lax.bitcast_convert_type(Qf, jnp.int8).reshape(
+                    Qf.shape[0], -1),
+            ], axis=1)
+            Q = jnp.zeros((1, 1), jnp.int16)  # unused in fused mode
         else:
             # (a one-stage int8 G table variant — per-DCT-coefficient
             # scales, coherent Q — lived here through r4's A/B battery;
