@@ -58,6 +58,9 @@ def encode_point(frames, fps, q, demo_settings):
     }
 
 
+CACHE = "/tmp/parity_matched_cache.json"
+
+
 def match_content(content, tol):
     from tiler_tpu.bitstream.gtm import GTMDecoder, parse_header
 
@@ -69,11 +72,25 @@ def match_content(content, tol):
     print(f"# {content}: {len(frames)} frames, reference {ref_bps} B/s",
           flush=True)
 
+    # Flap-resilient: each (content, q) eval persists immediately, so a
+    # tunnel death mid-bisection costs only the eval in flight.
+    try:
+        with open(CACHE) as f:
+            cache = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        cache = {}
     evals = []
 
     def ev(q):
-        row = encode_point(frames, fps, q, {})
-        row["x_reference"] = round(row["bps"] / ref_bps, 4)
+        key = f"{content}:{round(q, 4)}"
+        if key in cache:
+            row = cache[key]
+        else:
+            row = encode_point(frames, fps, q, {})
+            row["x_reference"] = round(row["bps"] / ref_bps, 4)
+            cache[key] = row
+            with open(CACHE, "w") as f:
+                json.dump(cache, f)
         evals.append(row)
         print(json.dumps(row), flush=True)
         return row
@@ -117,12 +134,18 @@ def main():
     tol = 0.01
     if "--tol" in sys.argv:
         tol = float(sys.argv[sys.argv.index("--tol") + 1])
+    path = os.path.join(ROOT, "docs", "PARITY_MATCHED.json")
     out = {}
+    if os.path.exists(path):  # merge: per-content invocations accumulate
+        try:
+            with open(path) as f:
+                out = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            out = {}
     for c in contents:
         out[c] = match_content(c, tol)
-    path = os.path.join(ROOT, "docs", "PARITY_MATCHED.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
     print(f"wrote {path}")
 
 
