@@ -178,20 +178,10 @@ def main():
     # win (or catches a regression) within one tunnel window
     measure("knn_v1", "knn kernel v1 (revert)",
             {"PB_SETTINGS": "knn_backend=pallas_v1"})
-    # compact EPU tables: int8 G + int16 Q exact-fold one-stage rank
-    # (the r4 epu_int8_tables scheme whose fps was never cleanly
-    # measured; roofline r5 says the Gi/Qi gathers are the EPU's wall)
-    measure("epu_compact", "EPU compact tables",
-            {"PB_SETTINGS": "epu_compact_tables=1"})
-    # fused single-gather compact table (bit-identical rank values to
-    # epu_compact — tests/test_epu_oracle.py — so this is a pure gather-
-    # row-count A/B on the roofline's row-rate-bound engine)
-    measure("epu_fused", "EPU fused gather",
-            {"PB_SETTINGS": "epu_fused_gather=1"})
-    # full-precision fused table: same row-count halving, NO quantization
-    # (bit-identical rankings to the default path — the compact variants
-    # measured a -0.26 dB used-tile-shrink in this battery's epu_compact
-    # child, so this is the quality-safe form of the same roofline lever)
+    # (epu_compact / epu_fused children: MEASURED 2026-08-20, both lose
+    # fps AND -0.26 dB — flags deleted from config; results stay in the
+    # resume file. epu_fused_fp measured -20% fps at exact quality; the
+    # flag stays selectable-but-off. docs/PERF.md r5 battery table.)
     measure("epu_fused_fp", "EPU fused gather (full precision)",
             {"PB_SETTINGS": "epu_fused_fp=1"})
     # im2row/MXU window field + Pallas blockify (the roofline's worst
@@ -218,8 +208,6 @@ def main():
     combo_env = {}
     combo_keys = []
     candidates = {
-        "epu_compact": {"PB_SETTINGS": "epu_compact_tables=1"},
-        "epu_fused": {"PB_SETTINGS": "epu_fused_gather=1"},
         "epu_fused_fp": {"PB_SETTINGS": "epu_fused_fp=1"},
         "field_im2row": {"PB_SETTINGS": "motion_field=im2row"},
     }

@@ -28,6 +28,13 @@ GATE_BYTES = 1.02
 # candidate key -> the default it would change (None = env-only knob,
 # promoted by changing the module default instead of a settings field)
 SETTINGS_OF = {
+    # --- round-5 candidates ---
+    "knn_v1": "kernels/knn_topk.py: revert to the v1 kernel (knn_backend='pallas_v1')",
+    "epu_compact": "(flag DELETED r5: slower AND -0.26 dB)",
+    "epu_fused": "(flag DELETED r5: dominated by epu_fused_fp)",
+    "epu_fused_fp": "epu_fused_fp=True",
+    "field_im2row": "motion_field='im2row'",
+    # --- round-4 candidates (closed; verdicts in docs/PERF.md) ---
     "ivf": "knn_backend='ivf'",
     "ivf_p16": "knn_backend='ivf', ivf_probes=16",
     "motion_d48": "motion_rank_dims=48",
@@ -47,10 +54,19 @@ SETTINGS_OF = {
 def main(path="/tmp/chip_playbook.json"):
     with open(path) as f:
         r = json.load(f)
-    base = r.get("baseline") or {}
+    base = dict(r.get("baseline") or {})
     if not base.get("fps"):
         print("no usable baseline in", path)
         return 1
+    # window fairness: tunnel flaps mean each child can land in a
+    # different-speed window; gate fps against the FASTER of the two
+    # baseline measurements so a degraded-window baseline can't
+    # false-promote every candidate (psnr/bytes are deterministic).
+    post = r.get("baseline_post")
+    if isinstance(post, dict) and post.get("fps", 0) > base["fps"]:
+        base["fps"] = post["fps"]
+        print(f"(fps gate uses baseline_post={post['fps']} — the faster "
+              f"of the two baseline windows)")
     print(f"baseline: fps={base['fps']} psnr={base.get('psnr')} "
           f"bytes={base.get('bytes')}  (frames={r.get('frames')}, "
           f"run {r.get('ts')})")

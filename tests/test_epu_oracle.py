@@ -203,82 +203,6 @@ def test_epu_two_stage_end_to_end(tmp_path):
     assert ts_psnr >= base_psnr - 0.5, (base_psnr, ts_psnr)
 
 
-def test_epu_compact_tables_agreement():
-    """Compact int8-G/int16-Q rank tables (settings.epu_compact_tables)
-    must agree with the full bf16 rank on decisive cells; exact folds
-    mean the only divergence source is the tables' own rounding."""
-    rng = np.random.RandomState(11)
-    B, kk, kp, T, P, S = 32, 8, 6, 60, 12, 16
-    pp = rng.randint(0, S, (T, 8, 8)).astype(np.uint8)
-    palettes = rng.randint(0, 256, (P, S, 3)).astype(np.uint8)
-    cells = []
-    for b in range(B):
-        rgb = palettes[rng.randint(P)][pp[rng.randint(T)]].astype(np.int32)
-        cells.append(np.clip(rgb + rng.randint(-8, 9, rgb.shape), 0, 255))
-    feats = np.stack([_oracle_features(c) for c in cells]).astype(np.float32)
-
-    cand_idx = np.sort(rng.randint(0, T, (B, kk)).astype(np.int32), 1)
-    cand_pal = np.sort(rng.randint(0, P, (B, kp)).astype(np.int32), 1)
-    pal_yuv = np.asarray(rgb_to_yuv(jnp.asarray(palettes, jnp.float32)))
-
-    Gf = R._indicator_dcts(pp, S)
-    G = Gf.astype(jnp.bfloat16)
-    t0, p0, _ = R._epu_rank_all(
-        jnp.asarray(feats), jnp.asarray(cand_idx), jnp.asarray(cand_pal),
-        G, jnp.asarray(pal_yuv), S, cell_chunk=16)
-    G8, g_inv, Q16, q_inv = R._build_two_stage_tables(Gf, S, 192)
-    t1, p1, _ = R._epu_rank_all(
-        jnp.asarray(feats), jnp.asarray(cand_idx), jnp.asarray(cand_pal),
-        G8, jnp.asarray(pal_yuv), S, cell_chunk=16,
-        Q=Q16, g_inv=g_inv, q_inv=q_inv)
-    e0 = np.asarray(R._exact_choice_err(
-        jnp.asarray(feats), t0, p0, jnp.asarray(pp), jnp.asarray(palettes)))
-    e1 = np.asarray(R._exact_choice_err(
-        jnp.asarray(feats), t1, p1, jnp.asarray(pp), jnp.asarray(palettes)))
-    agree = np.mean((np.asarray(t0) == np.asarray(t1))
-                    & (np.asarray(p0) == np.asarray(p1)))
-    assert agree >= 0.85, agree
-    # where selections differ, the compact winner's EXACT error must be
-    # within ranking-rounding of the full rank's choice
-    assert np.all(e1 <= e0 * 1.05 + 200.0), (e1 - e0).max()
-
-
-def test_epu_fused_gather_bit_identical():
-    """The fused single-gather table (settings.epu_fused_gather) holds the
-    SAME int8/int16 payloads as compact mode in one byte-row — rankings
-    must be bit-identical to epu_compact_tables (the bitcast roundtrip
-    recovers the exact integers; every downstream op is unchanged)."""
-    import jax
-
-    rng = np.random.RandomState(7)
-    B, kk, kp, T, P, S = 32, 8, 6, 60, 12, 16
-    pp = rng.randint(0, S, (T, 8, 8)).astype(np.uint8)
-    palettes = rng.randint(0, 256, (P, S, 3)).astype(np.uint8)
-    feats = rng.randint(-500, 500, (B, 192)).astype(np.float32)
-    cand_idx = np.sort(rng.randint(0, T, (B, kk)).astype(np.int32), 1)
-    cand_pal = np.sort(rng.randint(0, P, (B, kp)).astype(np.int32), 1)
-    pal_yuv = np.asarray(rgb_to_yuv(jnp.asarray(palettes, jnp.float32)))
-
-    Gf = R._indicator_dcts(pp, S)
-    G8, g_inv, Q16, q_inv = R._build_two_stage_tables(Gf, S, 192)
-    t0, p0, e0 = R._epu_rank_all(
-        jnp.asarray(feats), jnp.asarray(cand_idx), jnp.asarray(cand_pal),
-        G8, jnp.asarray(pal_yuv), S, cell_chunk=16,
-        Q=Q16, g_inv=g_inv, q_inv=q_inv)
-    GQ = jnp.concatenate([
-        G8.reshape(G8.shape[0], -1),
-        jax.lax.bitcast_convert_type(Q16, jnp.int8).reshape(
-            Q16.shape[0], -1),
-    ], axis=1)
-    t1, p1, e1 = R._epu_rank_all(
-        jnp.asarray(feats), jnp.asarray(cand_idx), jnp.asarray(cand_pal),
-        GQ, jnp.asarray(pal_yuv), S, cell_chunk=16,
-        Q=None, g_inv=g_inv, q_inv=q_inv)
-    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
-    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
-    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
-
-
 def test_epu_fused_fp_bit_identical():
     """The FULL-PRECISION fused table (settings.epu_fused_fp) holds the
     default path's bf16-G/f32-Q rows as int8 bytes in one row — rankings
@@ -343,34 +267,3 @@ def test_epu_fused_fp_e2e_pixel_identical(tmp_path):
     f1, psnr1 = run(True)
     np.testing.assert_array_equal(f0, f1)
     assert psnr0 == psnr1
-
-
-def test_epu_fused_gather_e2e(tmp_path):
-    """epu_fused_gather runs the full pipeline, round-trips through the
-    stream-embedded settings, and stays quality-parity with defaults."""
-    from tiler_tpu.bitstream.gtm import GTMDecoder, GTMReader
-    from tiler_tpu.config import EncoderSettings
-    from tiler_tpu.pipeline.encoder import Encoder
-
-    rng = np.random.RandomState(5)
-    base = rng.randint(0, 200, (48, 64, 3)).astype(np.uint8)
-    clip = np.stack([np.roll(base, (2 * f, 3 * f), (0, 1))
-                     for f in range(4)])
-
-    def run(fused):
-        s = EncoderSettings(palette_count=8, palette_size=16,
-                            motion_predict_radius=4, epu_knn_k=8,
-                            kmeans_iters=3, epu_fused_gather=fused,
-                            global_tiling_quality_based_tile_count=4.0)
-        enc = Encoder(s, log=lambda *a: None)
-        p = str(tmp_path / f"fg{int(fused)}.gtm")
-        enc.run_all(clip, fps=25.0, out_path=p)
-        assert len(GTMDecoder(p).decode_frames()) == 4
-        if fused:
-            s2 = EncoderSettings.from_ini(GTMReader.read(p).settings_text)
-            assert s2.epu_fused_gather is True
-        return enc.state.total_psnr
-
-    base_psnr = run(False)
-    fg_psnr = run(True)
-    assert fg_psnr >= base_psnr - 0.5, (base_psnr, fg_psnr)

@@ -96,7 +96,9 @@ class EncoderSettings:
     # "pallas" (v2 block top-k kernel: every distance term folded into
     # the matmul so the MXU emits true distances and the VPU does ~6
     # ops/elem — the r5 roofline put v1 at ~6% MXU with the wall in key
-    # packing), "pallas_v1" (the r4 kernel, kept selectable for A/Bs;
+    # packing; CHIP VERDICT r5 battery: the v1 revert measured -6.3%
+    # fps at identical output, confirming v2), "pallas_v1" (the r4
+    # kernel, kept selectable for A/Bs;
     # rankings differ only in near-tie rounding), "xla" (lax.top_k over
     # the distance matmul), or "ivf" (two-level inverted-file search,
     # pipeline/ivf.py — approximate like the reference's ANN kd-trees,
@@ -123,32 +125,20 @@ class EncoderSettings:
     # Pallas blockify relayout — the roofline measured "passes" 10x+ off
     # its bandwidth floor). Values differ only by f32 contraction-order
     # rounding in a ranking-only quantity; battery-gated.
-    epu_compact_tables: bool = False  # one-stage compact EPU rank
-    # tables: int8 G (per-DCT-coefficient scales) + int16 Q (per-column
-    # scales), both folded EXACTLY into the per-cell weights / palette
-    # outer products — halves the Gi/Qi gather bytes, which the r5
-    # roofline measured as the EPU's binding resource. Unlike
-    # epu_two_stage there is no low-frequency funnel and no per-pair
-    # exact re-rank (the r4 two-stage fps loss was stage 2's renders).
-    # Quality measured at bench settings in the r4 battery (as the then
-    # epu_int8_tables): -0.00 dB, +0.4% bytes. Battery-gated.
-    epu_fused_gather: bool = False  # fuse the compact Gi/Qi gathers
-    # into ONE int8 gather of concatenated byte-rows (G row bytes +
-    # Q int16 bytes, bitcast on device): the r5 roofline measured the
-    # EPU's gather engine as ROW-RATE-bound (~22-38 M rows/s, locality-
-    # insensitive), so halving the row count at identical bytes is the
-    # remaining structural lever. Implies epu_compact_tables (same
-    # tables, same folds — ranking values are bit-identical to compact
-    # mode by construction). Battery-gated.
     epu_fused_fp: bool = False  # fuse the DEFAULT full-precision Gi/Qi
-    # gathers into ONE int8 byte-row gather (G bf16 bytes ++ Q f32
-    # bytes, bitcast on device — same row-count halving as
-    # epu_fused_gather but WITHOUT the compact tables' int8/int16
-    # rounding: ranking values are bit-identical to the default path by
-    # construction, tests/test_epu_oracle.py). The r5 battery measured
-    # the compact-table variants shifting quality -0.26 dB (the same
-    # used-tile-shrink the two-stage EPU showed in r4); this keeps the
-    # row-rate lever and drops the rounding. Battery-gated.
+    # gathers into ONE int8 byte-row gather (G bf16 bytes ++ f32 Q
+    # bytes, bitcast on device) — halves the gather ROW count at the
+    # same total bytes, with ranking values bit-identical to the
+    # default path by construction (tests/test_epu_oracle.py).
+    # CHIP VERDICT (r5 battery, docs/PERF.md): LOSES -20% fps — the
+    # gather engine's row rate is NOT width-independent at these sizes
+    # (a fused 3.6 KB row gathers at ~half the rows/s of the separate
+    # 2.0/1.6 KB rows) and the device bitcast/split adds VPU work. The
+    # int8/int16 COMPACT forms of the same lever (epu_compact_tables /
+    # epu_fused_gather) were DELETED after the same battery: dominated
+    # on both axes (slower AND a -0.26 dB used-tile-shrink). This flag
+    # stays selectable as the quality-safe form for regimes with much
+    # wider rows (bigger S) where the row-rate argument may reopen.
     epu_stage1_dims: int = 48  # stage-1 rank dims (3*r^2; 48 -> the
     # 4x4 low-frequency DCT block per channel)
     epu_stage1_m: int = 16  # exact-re-ranked survivors per cell
@@ -217,8 +207,6 @@ class EncoderSettings:
         ("TPU", "IvfProbes", "ivf_probes", int),
         ("TPU", "IvfMinCorpus", "ivf_min_corpus", int),
         ("TPU", "EpuTwoStage", "epu_two_stage", bool),
-        ("TPU", "EpuCompactTables", "epu_compact_tables", bool),
-        ("TPU", "EpuFusedGather", "epu_fused_gather", bool),
         ("TPU", "EpuFusedFp", "epu_fused_fp", bool),
         ("TPU", "EpuStage1Dims", "epu_stage1_dims", int),
         ("TPU", "EpuStage1M", "epu_stage1_m", int),
@@ -235,6 +223,12 @@ class EncoderSettings:
         ("TPU", "EpuInt8Tables",
          "one-stage int8 EPU tables were deleted in round 4 (superseded "
          "by EpuTwoStage; see docs/PERF.md battery verdicts)"),
+        ("TPU", "EpuCompactTables",
+         "deleted in round 5: the r5 chip battery measured the compact "
+         "int8/int16 EPU tables slower AND -0.26 dB (docs/PERF.md)"),
+        ("TPU", "EpuFusedGather",
+         "deleted in round 5: dominated by EpuFusedFp on both axes in "
+         "the r5 chip battery (docs/PERF.md)"),
     )
 
     def apply_overrides(self, spec: str) -> "EncoderSettings":

@@ -320,7 +320,7 @@ def _epu_rank_two_stage(feats, cand_idx, cand_pal, G8lf, g_inv, Q16, q_inv,
 
 @functools.partial(jax.jit, static_argnames=("S", "cell_chunk"))
 def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int,
-                  Q=None, g_inv=None, q_inv=None):
+                  Q=None):
     """Cartesian re-rank over all cells via a scan over cell chunks.
 
     feats [B, 192]; cand_idx/cand_pal [B, kk] sorted ascending; G [T,64,S];
@@ -336,28 +336,15 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
     layout copies; the err matmul itself is ~3ms), nothing per-pair larger
     than [chunk, kk, kp] materialized.
 
-    Compact-table mode (settings.epu_compact_tables; g_inv/q_inv set):
-    G is int8 with per-DCT-coefficient scales and Q int16 with per-column
-    scales (built by _build_two_stage_tables at dims=192 — the full
-    coefficient set, NOT the r4 two-stage low-frequency funnel). The
-    scales fold EXACTLY into ftw resp. Rall, so the only loss is the
-    tables' own rounding; the r5 roofline measured the Gi/Qi gathers —
-    the EPU's binding resource — at half the bytes. The r4 battery
-    measured this table scheme quality-parity at bench settings
-    (PERF.md epu_int8_tables: -0.00 dB, +0.4%% bytes; its fps was never
-    cleanly measured, which is why it returns for the r5 battery)."""
+    Fused-table mode (settings.epu_fused_fp; G.ndim == 2): the bf16 G and
+    f32 Q rows arrive concatenated as one int8 byte-row table, so the
+    Gi+Qi gather pair becomes ONE gather; the bitcast split below recovers
+    the exact payloads, keeping ranking values bit-identical to the
+    default path (chip verdict: loses fps — see config.py)."""
     B, kk = cand_idx.shape
     kp = cand_pal.shape[1]
     w = jnp.asarray(DCT_WEIGHTS, jnp.float32)
     wf = w.transpose(1, 2, 0).reshape(64, 3)  # [vu, c]
-    # fused byte-row tables (ONE gather replaces the Gi+Qi pair — the r5
-    # roofline measured the gather engine row-rate-bound, so half the
-    # rows is the lever). Two layouts, both bit-identical to their
-    # two-gather parents (the split bitcasts recover the exact payloads):
-    # - settings.epu_fused_gather: compact int8 G ++ int16-Q bytes,
-    #   [T, 64*S + 2*ntri3] (g_inv/q_inv set — the dequant folds);
-    # - settings.epu_fused_fp: DEFAULT bf16-G ++ f32-Q bytes,
-    #   [T, 64*S*2 + 4*ntri3] (g_inv None — full precision, no folds).
     fused = G.ndim == 2
     if Q is None and not fused:
         Q = _tile_quad(G, S)
@@ -367,8 +354,6 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
     # ~5ms/frame layout copies)
     Pc = pal_yuv.transpose(0, 2, 1)  # [P, 3, S]
     Rall = (Pc[..., tri_i] * Pc[..., tri_j]).reshape(pal_yuv.shape[0], -1)
-    if q_inv is not None:
-        Rall = Rall * q_inv[None, :]  # exact int16-Q dequant fold
     nch = -(-B // cell_chunk)
     Bp = nch * cell_chunk
     featsp = jnp.pad(feats, ((0, Bp - B), (0, 0)))
@@ -379,7 +364,7 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
         f = jax.lax.dynamic_slice(featsp, (i * cell_chunk, 0), (cell_chunk, K))
         ci = jax.lax.dynamic_slice(cip, (i * cell_chunk, 0), (cell_chunk, kk))
         cp = jax.lax.dynamic_slice(cpp, (i * cell_chunk, 0), (cell_chunk, kp))
-        if fused and g_inv is None:
+        if fused:
             # full-precision fused layout (settings.epu_fused_fp): bf16 G
             # bytes ++ f32 Q bytes; bitcasts invert the build exactly
             GQi = G[ci]  # ONE [b, kk, 64*S*2 + 4*ntri] int8 gather
@@ -389,25 +374,11 @@ def _epu_rank_all(feats, cand_idx, cand_pal, G, pal_yuv, S: int, cell_chunk: int
                 jnp.bfloat16)
             Qi = jax.lax.bitcast_convert_type(
                 GQi[..., gb:].reshape(cell_chunk, kk, -1, 4), jnp.float32)
-        elif fused:
-            GQi = G[ci]  # ONE [b, kk, 64*S + 2*ntri] int8 gather
-            gb = 64 * S
-            Gi = GQi[..., :gb].reshape(
-                cell_chunk, kk, 64, S).astype(jnp.bfloat16)  # exact +-127
-            Qi = jax.lax.bitcast_convert_type(
-                GQi[..., gb:].reshape(cell_chunk, kk, -1, 2), jnp.int16
-            ).astype(jnp.float32)
         else:
-            Gi = G[ci]  # [b, kk, 64, S] (bf16/int8: ranking only —
+            Gi = G[ci]  # [b, kk, 64, S] bf16 (ranking only —
             # winners get an exact fp32 re-evaluation in _knn_phase)
-            if Gi.dtype != jnp.bfloat16:
-                Gi = Gi.astype(jnp.bfloat16)  # int8 -> bf16 exact +-127
-            Qi = Q[ci]  # [b, kk, 3*ntri] f32/int16 (triangle-packed)
-            if Qi.dtype != jnp.float32:
-                Qi = Qi.astype(jnp.float32)  # int16 gather, f32 on VPU
+            Qi = Q[ci]  # [b, kk, 3*ntri] f32 (triangle-packed)
         ftw = f.reshape(-1, 3, 64).transpose(0, 2, 1) * wf[None]  # [b, 64, 3]
-        if g_inv is not None:
-            ftw = ftw * g_inv[None, :, None]  # exact int8-G dequant fold
         C = jnp.einsum("bkvs,bvc->bksc", Gi, ftw.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)  # [b, kk, S, 3]
         Py = pal_yuv[cp]  # [b, kp, S, 3] f32
@@ -514,7 +485,7 @@ def _knn_all_frames(tiles, dsj, G, Q, pal_initial, pal_yuv, pp, palettes,
             cand_pal = pal_initial[idx[:, :pal_k]]
             t, p, _ = _epu_rank_all(
                 feats, cand_idx, cand_pal, G, pal_yuv, S,
-                cell_chunk=cell_chunk, Q=Q, g_inv=g_inv, q_inv=q_inv,
+                cell_chunk=cell_chunk, Q=Q,
             )
             exact = _exact_choice_err(feats, t, p, pp, palettes, int16=int16)
         # pack (tile, pal) into one word + err bits: [2, N] i32 halves the
@@ -582,8 +553,7 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
     # the compact/two-stage tables halve-or-better the per-cell bytes,
     # so the chunk grows to match (fewer scan iterations, same footprint)
     ntri3 = 3 * (S * (S + 1) // 2)
-    compactish = (settings.epu_compact_tables or settings.epu_two_stage
-                  or settings.epu_fused_gather)
+    compactish = settings.epu_two_stage
     gb = 1 if compactish else 2
     qb = 2 if compactish else 4
     per_cell = kk * (64 * S * gb + ntri3 * qb) + pal_k * ntri3 * 4
@@ -637,39 +607,14 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
             G, g_inv, Q, q_inv = _build_two_stage_tables(
                 Gf, settings.palette_size, settings.epu_stage1_dims)
             stage1_dims = settings.epu_stage1_dims
-        elif settings.epu_compact_tables or settings.epu_fused_gather:
-            # one-stage compact tables: the SAME int8-G/int16-Q scheme at
-            # dims=192 (full coefficient set), ranked by _epu_rank_all
-            # with the scales folded exactly — no stage-2 exact re-rank
-            # (the r4 two-stage loss was stage 2's per-pair renders, not
-            # the tables; see PERF.md epu_2s_m32 verdict)
-            G, g_inv, Q, q_inv = _build_two_stage_tables(
-                Gf, settings.palette_size, 192)
-            if settings.epu_fused_gather:
-                # concatenate G's int8 bytes with Q's int16 bytes into one
-                # byte-row table so the per-chunk Gi+Qi gather pair becomes
-                # ONE gather (the r5 roofline: row-rate-bound engine). The
-                # device-side bitcast here and the inverse in
-                # _epu_rank_all are the same XLA op, so the roundtrip is
-                # self-consistent by construction (no endianness
-                # assumption crosses the host boundary).
-                G = jnp.concatenate([
-                    G.reshape(G.shape[0], -1),
-                    jax.lax.bitcast_convert_type(Q, jnp.int8).reshape(
-                        Q.shape[0], -1),
-                ], axis=1)
-                Q = jnp.zeros((1, 1), jnp.int16)  # unused in fused mode
         elif settings.epu_fused_fp:
             # full-precision fused byte table: the DEFAULT bf16 G and f32
             # Q rows concatenated as int8 bytes, so the per-chunk Gi+Qi
-            # gather pair becomes ONE gather at the same total bytes —
-            # the r5 roofline's row-rate lever (the gather engine is
-            # row-rate-bound and locality-insensitive) WITHOUT the
-            # compact tables' int8/int16 rounding. The device bitcasts
-            # here and in _epu_rank_all are inverses, so ranking values
-            # are bit-identical to the default path by construction
-            # (g_inv/q_inv stay None — that None-ness is how the rank fn
-            # distinguishes the fp layout from the compact one).
+            # gather pair becomes ONE gather at the same total bytes.
+            # Ranking values are bit-identical to the default path by
+            # construction (the device bitcasts here and in
+            # _epu_rank_all are inverses). CHIP VERDICT r5: -20% fps
+            # (row rate is not width-independent); see config.py.
             Gb = Gf.astype(jnp.bfloat16)
             Qf = _tile_quad(Gb, settings.palette_size)
             G = jnp.concatenate([
