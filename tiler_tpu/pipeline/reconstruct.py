@@ -800,7 +800,6 @@ def _knn_phase(state: EncodeState, settings: EncoderSettings, mesh=None):
             t, p, _ = _epu_rank_all(
                 feats, cand_idx, cand_pal, G, pal_yuv,
                 settings.palette_size, cell_chunk=cell_chunk, Q=Q,
-                g_inv=g_inv, q_inv=q_inv,
             )
             e = _exact_choice_err(feats, t, p, pp_dev, palettes_dev,
                                   int16=settings.int16_features)
