@@ -101,11 +101,30 @@ def match_content(content, tol):
     lo = ev(lo_q)
     hi = ev(hi_q)
     assert lo["bps"] < ref_bps, f"q={lo_q} already above reference bitrate"
-    while hi["bps"] < ref_bps:
+    saturated = False
+    for _ in range(6):
+        if hi["bps"] >= ref_bps:
+            break
+        prev = hi
         lo_q, lo = hi_q, hi
         hi_q *= 1.5
         hi = ev(hi_q)
+        # The tile budget saturates on short clips (the sqrt-scaling
+        # count formula caps at the content's useful tile count): if a
+        # 1.5x quality step buys <1.5% bitrate, the encoder cannot
+        # reach the reference's rate on this content — report the
+        # saturation point; "we cannot spend as many bits as the
+        # reference did even at max quality" IS the parity statement.
+        if hi["bps"] < prev["bps"] * 1.015:
+            saturated = True
+            break
+    else:
+        saturated = hi["bps"] < ref_bps
     best = min(evals, key=lambda r: abs(r["bps"] - ref_bps))
+    if saturated:
+        best = max(evals, key=lambda r: r["bps"])
+        return {"content": content, "ref_bps": ref_bps, "matched": best,
+                "saturated": True, "evals": evals}
     for _ in range(6):
         if abs(best["bps"] / ref_bps - 1.0) <= tol:
             break
